@@ -1,0 +1,144 @@
+"""Golden end-to-end parity vs the reference NumPy solver.
+
+Fixture ``tests/fixtures/reference_golden.json`` was produced by running the
+reference implementation (scipy sparse path, ``fem_test.py`` pipeline) at
+several (E, nu) points including the theta-map cases. Target: displacements
+and stresses to <= 1e-6 (BASELINE.md 'Forward parity'); we assert much
+tighter since both sides are float64.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vbicm_tpu.config import MaterialCard, ProblemConfig
+from vbicm_tpu.model import build_fem_model
+from vbicm_tpu.solver import fea_solution, make_fh_fun, make_solver, probe_von_mises
+
+
+@pytest.fixture(scope="module")
+def solutions(cooks_model, golden):
+    sols = []
+    for case in golden:
+        mat = MaterialCard(E=case["E"], v=case["v"])
+        sols.append((case, fea_solution(cooks_model, mat)))
+    return sols
+
+
+def test_displacement_parity(solutions):
+    for case, sol in solutions:
+        u = np.asarray(sol.u)
+        np.testing.assert_allclose(u[460:462], case["u_node231"], rtol=0, atol=1e-9)
+        np.testing.assert_allclose(u[:12], case["u_head"], atol=1e-9)
+        np.testing.assert_allclose(u[-12:], case["u_tail"], atol=1e-9)
+        np.testing.assert_allclose(np.linalg.norm(u), case["u_norm"], rtol=1e-10)
+
+
+def test_stress_strain_parity(solutions):
+    for case, sol in solutions:
+        # golden stores (6, nqpt) for element 12 (0-based 11)
+        np.testing.assert_allclose(
+            np.asarray(sol.stress[11]).T, np.asarray(case["stress_e12"]), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol.strain[11]).T, np.asarray(case["strain_e12"]), atol=1e-9
+        )
+
+
+def test_von_mises_probe_parity(cooks_model, solutions):
+    from vbicm_tpu.ops.element import lame_from_Ev
+
+    for case, sol in solutions:
+        lam, mu = lame_from_Ev(case["E"], case["v"])
+        vm = probe_von_mises(cooks_model, sol.u, lam, mu, 12, np.array([1, 3]))
+        np.testing.assert_allclose(np.asarray(vm), case["vm_e12_q13"], atol=1e-9)
+
+
+def test_fh_theta_map_parity(cooks_model, golden):
+    """fh(theta) must hit the golden (y, h) for the theta-mapped cases."""
+    fh = make_fh_fun(cooks_model, ProblemConfig())
+    # cases 1..3 were generated from theta values via the exp/sigmoid map
+    thetas = [(1.0, 1.0), (-0.5, 2.0), (2.0, -1.0)]
+    for theta, case in zip(thetas, golden[1:]):
+        y, h = fh(jnp.asarray(theta))
+        np.testing.assert_allclose(np.asarray(y), case["u_node231"], atol=1e-9)
+        np.testing.assert_allclose(np.asarray(h), case["vm_e12_q13"], atol=1e-9)
+
+
+def test_fh_vmap_batch(cooks_model):
+    fh = make_fh_fun(cooks_model)
+    thetas = jnp.asarray(np.random.default_rng(0).normal(size=(8, 2)))
+    y, h = jax.jit(jax.vmap(fh))(thetas)
+    assert y.shape == (8, 2) and h.shape == (8, 2)
+    # batched result matches per-sample calls
+    y0, h0 = fh(thetas[3])
+    np.testing.assert_allclose(np.asarray(y[3]), np.asarray(y0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(h[3]), np.asarray(h0), atol=1e-12)
+
+
+def test_reactions_balance_load(cooks_model):
+    sol = fea_solution(cooks_model, MaterialCard())
+    # sum of reactions must balance the applied load (50 in +y)
+    ry = np.asarray(sol.reactions)[1::2].sum()
+    rx = np.asarray(sol.reactions)[0::2].sum()
+    np.testing.assert_allclose(ry, -50.0, atol=1e-8)
+    np.testing.assert_allclose(rx, 0.0, atol=1e-8)
+
+
+def test_grad_through_solve_vs_finite_differences(cooks_model):
+    """BASELINE configs[1]: d(sigma_vm)/d(theta) through assembly + solve."""
+    fh = make_fh_fun(cooks_model)
+
+    def loss(theta):
+        y, h = fh(theta)
+        return jnp.sum(h) + jnp.sum(y)
+
+    theta0 = jnp.array([0.3, -0.8])
+    g = jax.grad(loss)(theta0)
+    eps = 1e-5
+    for i in range(2):
+        tp = theta0.at[i].add(eps)
+        tm = theta0.at[i].add(-eps)
+        fd = (loss(tp) - loss(tm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-5, atol=1e-8)
+
+
+def test_matrix_free_cg_matches_dense(cooks_mesh):
+    dense_model = build_fem_model(cooks_mesh, dense=True)
+    mf_model = build_fem_model(cooks_mesh, dense=False)
+    from vbicm_tpu.ops.element import lame_from_Ev
+
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    u_dense = make_solver(dense_model)(jnp.asarray(lam), jnp.asarray(mu))
+    u_mf = make_solver(mf_model, cg_tol=1e-14)(jnp.asarray(lam), jnp.asarray(mu))
+    np.testing.assert_allclose(np.asarray(u_mf), np.asarray(u_dense), atol=1e-8)
+
+
+def test_matrix_free_gradient(cooks_mesh):
+    mf_model = build_fem_model(cooks_mesh, dense=False)
+    fh = make_fh_fun(mf_model)
+
+    def loss(theta):
+        y, h = fh(theta)
+        # note: h alone is invariant to the E-scale (stress of a linear
+        # load-controlled problem), so include y for a non-degenerate check
+        return jnp.sum(h) + jnp.sum(y)
+
+    theta0 = jnp.array([0.1, 0.2])
+    g = jax.grad(loss)(theta0)
+    eps = 1e-5
+    fd = (loss(theta0.at[0].add(eps)) - loss(theta0.at[0].add(-eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-4, atol=1e-8)
+
+
+def test_mixed_precision_refinement(cooks_model):
+    """f32 factorization + refinement recovers f64-grade accuracy."""
+    from vbicm_tpu.ops.element import lame_from_Ev
+
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    u64 = make_solver(cooks_model)(jnp.asarray(lam), jnp.asarray(mu))
+    u_mixed = make_solver(cooks_model, factor_dtype=jnp.float32, refine_iters=3)(
+        jnp.asarray(lam), jnp.asarray(mu)
+    )
+    rel = np.linalg.norm(np.asarray(u_mixed - u64)) / np.linalg.norm(np.asarray(u64))
+    assert rel < 1e-10, rel

@@ -1,0 +1,178 @@
+"""Unit tests for quadrature, shape functions, element math, von Mises."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.io as sio
+
+from vbicm_tpu.ops import quadrature
+from vbicm_tpu.ops.element import (
+    C_LAM3,
+    C_MU3,
+    bmatrix,
+    element_stiffness_parts,
+    lame_from_Ev,
+    plane_strain_C3,
+    plane_stress_C3,
+    stress6_plane_strain,
+)
+from vbicm_tpu.ops.shape import quad4_shape, quad8_natural, quad9_natural, quad4_natural
+from vbicm_tpu.ops.vonmises import PDEVS6, von_mises_classical, von_mises_reference
+
+MODEL_MAT = "/root/reference/model_file.mat"
+
+
+def test_gauss_2d_orders_integrate_polynomials():
+    # order-p rule integrates x^(2p-1) exactly on [-1,1]^2
+    for order in range(1, 6):
+        pts, wts = quadrature.int2d(order)
+        assert pts.shape[0] == order * order
+        np.testing.assert_allclose(wts.sum(), 4.0, atol=1e-12)
+        for px in range(2 * order):
+            exact = (1 - (-1) ** (px + 1)) / (px + 1) * 2.0
+            got = np.sum(wts * pts[:, 0] ** px)
+            np.testing.assert_allclose(got, exact, atol=1e-10)
+
+
+def test_gauss_2x2_ordering():
+    pts, wts = quadrature.int2d(2)
+    g = 1.0 / np.sqrt(3.0)
+    np.testing.assert_allclose(
+        pts, [[-g, -g], [g, -g], [g, g], [-g, g]], atol=1e-14
+    )
+    np.testing.assert_allclose(wts, 1.0)
+
+
+def test_special_5pt_rule():
+    pts, wts = quadrature.int2d(0)
+    np.testing.assert_allclose(wts.sum(), 4.0 * 5 / 9 + 2.8 * 8 / 9, atol=1e-12)
+
+
+def test_nodal_rules():
+    for n in (4, 9, 16):
+        pts, wts = quadrature.int2dn(n)
+        assert pts.shape == (n, 2)
+        np.testing.assert_allclose(wts.sum(), 4.0, atol=1e-12)
+
+
+def test_quad4_partition_of_unity():
+    for xi, eta in [(0.0, 0.0), (0.3, -0.7), (1.0, 1.0), (-0.2, 0.9)]:
+        n, dn = quad4_natural(xi, eta)
+        np.testing.assert_allclose(float(jnp.sum(n)), 1.0, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(jnp.sum(dn, axis=0)), 0.0, atol=1e-14)
+
+
+def test_quad8_quad9_partition_of_unity():
+    for fn, nel in [(quad8_natural, 8), (quad9_natural, 9)]:
+        n, dn = fn(0.33, -0.41)
+        assert n.shape == (nel,)
+        np.testing.assert_allclose(float(jnp.sum(n)), 1.0, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(jnp.sum(dn, axis=0)), 0.0, atol=1e-13)
+
+
+def test_quad4_global_gradients_linear_field():
+    # gradients must reproduce a linear field exactly on a distorted quad
+    xl = jnp.array([[0.0, 0.0], [2.3, 0.2], [2.7, 1.9], [-0.3, 1.4]])
+    a, b, c = 1.7, -0.6, 0.9
+    vals = a + b * xl[:, 0] + c * xl[:, 1]
+    n, dn, detj = quad4_shape(0.37, -0.21, xl)
+    np.testing.assert_allclose(float(vals @ dn[:, 0]), b, atol=1e-12)
+    np.testing.assert_allclose(float(vals @ dn[:, 1]), c, atol=1e-12)
+    assert float(detj) > 0
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(MODEL_MAT), reason="no reference mount")
+def test_shape_and_jacobian_parity_with_reference_model_file():
+    """Golden parity of shp/jac/B/dvol vs the reference's own preprocessed
+    element data (element 0 of Cook's 20x10, model_file.mat)."""
+    d = sio.loadmat(MODEL_MAT, struct_as_record=False, squeeze_me=True)
+    ek = d["topo_data"].element_kdata
+    md = d["model_data"]
+    coords = np.stack([e.coord[:, 1:3] for e in md.element[:1]])[0]  # (4, 2)
+    pts, wts = quadrature.int2d(2)
+    for q in range(4):
+        n, dn, detj = quad4_shape(pts[q, 0], pts[q, 1], jnp.asarray(coords))
+        np.testing.assert_allclose(float(detj) * wts[q], ek.jac[q], atol=1e-12)
+        # reference shp layout: shp[0]=dN/dx, shp[1]=dN/dy, shp[2]=N
+        np.testing.assert_allclose(np.asarray(dn[:, 0]), ek.shp[0, :, q], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(dn[:, 1]), ek.shp[1, :, q], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(n), ek.shp[2, :, q], atol=1e-12)
+    np.testing.assert_allclose(ek.dvol, ek.thk * ek.jac, atol=1e-12)
+
+
+def test_plane_strain_C_decomposition():
+    E, v = 20.0, 0.3
+    lam, mu = lame_from_Ev(E, v)
+    C = np.asarray(plane_strain_C3(E, v))
+    np.testing.assert_allclose(C, lam * C_LAM3 + mu * C_MU3, atol=1e-12)
+    # against the explicit 4x4 reduced form of the reference
+    l = v * E / ((1 + v) * (1 - 2 * v))
+    m = 0.5 * E / (1 + v)
+    Cref = np.array([[l + 2 * m, l, 0], [l, l + 2 * m, 0], [0, 0, m]])
+    np.testing.assert_allclose(C, Cref, atol=1e-12)
+
+
+def test_plane_stress_C():
+    E, v = 20.0, 0.3
+    C = np.asarray(plane_stress_C3(E, v))
+    Cref = E / (1 - v**2) * np.array([[1, v, 0], [v, 1, 0], [0, 0, (1 - v) / 2]])
+    np.testing.assert_allclose(C, Cref, atol=1e-12)
+
+
+def test_stress6_plane_strain():
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    eps3 = jnp.array([1e-3, -2e-3, 5e-4])
+    s = np.asarray(stress6_plane_strain(eps3, lam, mu))
+    tr = 1e-3 - 2e-3
+    np.testing.assert_allclose(s[0], lam * tr + 2 * mu * 1e-3, atol=1e-15)
+    np.testing.assert_allclose(s[2], lam * tr, atol=1e-15)
+    np.testing.assert_allclose(s[3], mu * 5e-4, atol=1e-15)
+    np.testing.assert_allclose(s[4:], 0.0)
+
+
+def test_pdevs6_matches_reference_table():
+    # reference Pdevs (src/fem_preprocess.py:32-42) restricted to
+    # [0,4,8,3,7,2]: dev 3x3 block + diag(0.5) on shears
+    expected = np.zeros((6, 6))
+    expected[:3, :3] = np.eye(3) - 1.0 / 3.0
+    expected[3:, 3:] = 0.5 * np.eye(3)
+    np.testing.assert_allclose(PDEVS6, expected, atol=1e-12)
+
+
+def test_von_mises_reference_vs_manual():
+    sig = jnp.array([3.0, -1.0, 0.5, 0.7, 0.0, 0.0])
+    p = (3.0 - 1.0 + 0.5) / 3.0
+    manual = np.sqrt(
+        0.5 * ((3 - p) ** 2 + (-1 - p) ** 2 + (0.5 - p) ** 2) + 0.5 * (0.7 / 2) ** 2 * 1
+    )
+    # shear term: (t/2)^2 appears once in the 6-vector restriction
+    manual = np.sqrt(
+        0.5 * (((3 - p) ** 2 + (-1 - p) ** 2 + (0.5 - p) ** 2) + (0.7 / 2) ** 2)
+    )
+    np.testing.assert_allclose(float(von_mises_reference(sig)), manual, atol=1e-12)
+
+
+def test_element_stiffness_parts_symmetry_and_nullspace():
+    xl = jnp.array([[0.0, 0.0], [2.0, 0.1], [2.2, 1.9], [-0.1, 2.0]])
+    pts, wts = quadrature.int2d(2)
+    Bs, dv = [], []
+    for q in range(4):
+        n, dn, detj = quad4_shape(pts[q, 0], pts[q, 1], xl)
+        Bs.append(bmatrix(dn))
+        dv.append(detj * wts[q] * 10.0)
+    B = jnp.stack(Bs)
+    dvol = jnp.asarray(np.array(dv))
+    ke_lam, ke_mu = element_stiffness_parts(B, dvol)
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    ke = lam * ke_lam + mu * ke_mu
+    ke_np = np.asarray(ke)
+    np.testing.assert_allclose(ke_np, ke_np.T, atol=1e-10)
+    # rigid-body modes: translations and infinitesimal rotation are nullspace
+    tx = np.tile([1.0, 0.0], 4)
+    ty = np.tile([0.0, 1.0], 4)
+    rot = np.stack([-np.asarray(xl)[:, 1], np.asarray(xl)[:, 0]], axis=1).reshape(-1)
+    for v in (tx, ty, rot):
+        np.testing.assert_allclose(ke_np @ v, 0.0, atol=1e-9)
+    # positive semidefinite with exactly 3 near-zero eigenvalues
+    w = np.linalg.eigvalsh(ke_np)
+    assert (w[:3] < 1e-9).all() and (w[3:] > 1e-9).all()

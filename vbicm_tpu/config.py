@@ -1,0 +1,130 @@
+"""Configuration dataclasses.
+
+Replaces the reference's hard-coded property-card dictionaries
+(``model_property_cards.py:5-75``) and the script-top hyperparameter block
+(``main_custom_training.py:19-38,87-107``) with typed, immutable configs.
+Every semantic knob of the reference is preserved; dormant nonlinear-solver
+cards (arc length, line search, NR control) are kept as data so future
+nonlinear solvers can consume them.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MaterialCard:
+    """Isotropic elastic material (reference ``model_property_cards.py:25``)."""
+
+    E: float = 20.0
+    v: float = 0.3
+    mat_type: int = 1  # 1 = elastic isotropic
+
+    @property
+    def lam(self) -> float:
+        return self.v * self.E / ((1.0 + self.v) * (1.0 - 2.0 * self.v))
+
+    @property
+    def mu(self) -> float:
+        return 0.5 * self.E / (1.0 + self.v)
+
+
+@dataclasses.dataclass(frozen=True)
+class SectionCard:
+    """2-D section (reference ``model_property_cards.py:28-29``).
+
+    stype: 1 = plane stress, 2 = plane strain, 3 = axisymmetric,
+    4 = axisymmetric + torsion. etype: 1 = quadrilateral.
+    """
+
+    intp: int = 2  # Gauss order per direction (2 -> 2x2 rule)
+    thk: float = 10.0
+    etype: int = 1
+    stype: int = 2
+    eform: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverControl:
+    """Solver switches (reference ``model_property_cards.py:39-68``).
+
+    The reference problem is linear (``solver=1``); NR/arc-length/line-search
+    cards are retained for forward compatibility with nonlinear materials.
+    """
+
+    solver: int = 1  # 1 linear | 2 nonlinear
+    max_iter: int = 10
+    tol_cr: float = 1.0e-10
+    tol_Rforce: int = 0  # 1 -> residual norm, 0 -> energy norm
+    numsteps: int = 1
+    strain_energy_flag: int = 0
+    print_flag: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ThetaMap:
+    """theta -> (E, nu) reparameterization (``main_custom_training.py:32``,
+    ``src/data_generation_2sam_more_loss.py:182-186``):
+
+        E  = exp(theta_std[0] * t0 + theta_mean[0])
+        nu = 0.5 * sigmoid(theta_std[1] * t1 + theta_mean[1])
+    """
+
+    theta_mean: Tuple[float, float] = (float(np.log(20.0)), 0.0)
+    theta_std: Tuple[float, float] = (0.1, 0.015)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """Observation / probe configuration (``main_custom_training.py:21-38``).
+
+    y = nodal displacement (ux, uy) at ``node_id`` (1-based),
+    h = reference-convention von Mises stress at element ``ele_id`` (1-based),
+    quadrature points ``nipt_id`` (1-based).
+    ``sig_e`` / ``sig_eta`` are noise *variances* (the reference uses them as
+    variances inside the likelihoods and takes sqrt for sampling).
+    """
+
+    y_dim: int = 2
+    theta_dim: int = 2
+    z_dim: int = 2
+    sig_e: float = 1.0e-1
+    sig_eta: float = 3.0e-3
+    node_id: int = 231
+    ele_id: int = 12
+    nipt_id: Tuple[int, ...] = (1, 3)
+    theta_map: ThetaMap = dataclasses.field(default_factory=ThetaMap)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Two-step VI training hyperparameters (``main_custom_training.py:87-107``)."""
+
+    num_neuron: int = 20
+    num_layers1: int = 3
+    num_layers2: int = 3
+    alpha: float = 1.0e-7
+    lr: float = 1.0e-3
+    flg_lr_decay: bool = True
+    lr_patience: int = 5
+    decay_rate: float = 0.9
+    batch_size: int = 64
+    num_epoch1: int = 200
+    num_epoch2: int = 200
+    # Reference quirks, replicated by default and switchable:
+    #  * pairing="cross": term2/term5 broadcast every y in the batch against
+    #    every FEM sample in the batch (B x B*ne pairs), which is what the
+    #    reference's expand_dims/broadcast actually computes
+    #    (``main_custom_training.py:199-214,347-364``).
+    #  * pairing="per_sample": the mathematically intended ELBO pairing
+    #    (each y against only its own ne_sam posterior samples).
+    pairing: str = "cross"
+    #  * lr_decay_mode="reference": decay check reads the *unwritten* current
+    #    epoch slot (``main_custom_training.py:286-294``), so it fires iff the
+    #    loss lr_patience epochs ago was negative.
+    #  * lr_decay_mode="fixed": decay when loss increased over the window.
+    lr_decay_mode: str = "reference"
+    seed: int = 0

@@ -1,0 +1,70 @@
+"""Cook's-membrane mesh generator.
+
+Reproduces the geometry/numbering convention of the shipped mesh
+``Armero_cooksm_20x10.txt`` (corners (0,0), (48,44), (48,60), (0,44); node
+numbering x-fastest from the bottom edge; element k in row r spans columns
+(k, k+1)) for arbitrary nx x ny resolution, so the scaled configuration
+(~160x80, BASELINE.json configs[4]) uses the same code path as the 20x10
+parity case. For nx=20, ny=10 the output matches the shipped file exactly.
+
+Loading matches the shipped file: a total shear force of 50 in +y on the
+right edge, lumped uniformly with half-weights at the two corner nodes
+(``Armero_cooksm_20x10.txt`` FORCe section: 2.5 at nodes 21/231, 5.0 at the
+nine interior right-edge nodes). The left edge is fully clamped.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .feap import MeshData
+
+# Cook's membrane geometry (mesh-file Parameters block: L=48, H1=44, H2=60)
+_L = 48.0
+_H1 = 44.0
+_H2 = 60.0
+_TOTAL_SHEAR = 50.0
+
+
+def cooks_membrane_mesh(nx: int = 20, ny: int = 10) -> MeshData:
+    """Build an (nx x ny)-element quad4 mesh of Cook's membrane."""
+    xi = np.linspace(0.0, 1.0, nx + 1)  # horizontal fraction
+    eta = np.linspace(0.0, 1.0, ny + 1)  # vertical fraction
+    Xi, Eta = np.meshgrid(xi, eta)  # (ny+1, nx+1), row-major, x fastest
+    x = _L * Xi
+    y_bot = _H1 * Xi
+    y_top = _H1 + (_H2 - _H1) * Xi
+    y = y_bot + (y_top - y_bot) * Eta
+    coords = np.stack([x.ravel(), y.ravel()], axis=1)  # node id = r*(nx+1)+c
+
+    conn = np.zeros((nx * ny, 4), dtype=np.int32)
+    e = 0
+    for r in range(ny):
+        for c in range(nx):
+            n0 = r * (nx + 1) + c
+            conn[e] = (n0, n0 + 1, n0 + nx + 2, n0 + nx + 1)
+            e += 1
+
+    # Left edge clamped (both dofs)
+    bc_nodes = np.arange(ny + 1, dtype=np.int32) * (nx + 1)
+    bc_flags = np.ones((ny + 1, 2), dtype=np.int32)
+
+    # Right-edge shear load, trapezoidal (uniform) lumping
+    load_nodes = (np.arange(ny + 1, dtype=np.int32) * (nx + 1)) + nx
+    fy = np.full(ny + 1, _TOTAL_SHEAR / ny)
+    fy[0] *= 0.5
+    fy[-1] *= 0.5
+    load_vals = np.stack([np.zeros(ny + 1), fy], axis=1)
+
+    return MeshData(
+        coords=coords,
+        conn=conn,
+        bc_nodes=bc_nodes,
+        bc_flags=bc_flags,
+        load_nodes=load_nodes,
+        load_vals=load_vals,
+        disp_nodes=np.zeros((0,), dtype=np.int32),
+        disp_vals=np.zeros((0, 2), dtype=np.float64),
+        space_dim=2,
+        max_node_dof=2,
+        max_ele_node=4,
+    )

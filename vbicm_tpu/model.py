@@ -1,0 +1,217 @@
+"""FemModel: the immutable preprocessed FEM problem as a JAX pytree.
+
+Replaces the reference's mutable class-attribute global state
+(``PreProcessing.model_data/sol_data/out_data``, ``src/fem_preprocess.py:25-30``)
+and its ``model_file.mat`` round-trip with a single frozen pytree built once
+on the host. Everything downstream (forward solves, data generation, VI
+training, MCMC) consumes it as a constant — pure functions, no hidden state,
+which is also what makes every path trivially ``jit``/``vmap``/``shard_map``
+compatible.
+
+DOF convention (matches reference ``assign_dof_parfor_topopt``,
+``src/fem_preprocess.py:291-443``, converted to 0-based): node n owns dofs
+(2n, 2n+1) — interleaved x/y. Element dof map ``lm[e] = [2c0, 2c0+1, 2c1,
+2c1+1, ...]`` for connectivity ``conn[e] = [c0..c3]``.
+
+Precomputed at build (trace) time, all theta-independent:
+  * per-(element, qpt) B-matrices and ``dvol = thk * detJ * w``
+    (the reference recomputes these inside every traced solve,
+    ``src/fem_solver_tf.py:271-333``);
+  * affine element stiffness parts ``ke_lam``/``ke_mu`` (see ``ops.element``);
+  * for ``dense=True``: assembled free-free blocks ``k_lam_ff``/``k_mu_ff``
+    so a sample's operator is a 2-term axpy.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import MaterialCard, ProblemConfig, SectionCard, SolverControl
+from .mesh.feap import MeshData
+from .ops import quadrature
+from .ops.element import C_LAM3, C_MU3
+
+
+@struct.dataclass
+class FemModel:
+    # geometry / topology
+    coords: jax.Array  # (nnodes, 2)
+    conn: jax.Array  # (nele, 4) int32
+    lm: jax.Array  # (nele, 8) int32
+    free_dof: jax.Array  # (nfree,) int32
+    supp_dof: jax.Array  # (nsupp,) int32
+    free_mask: jax.Array  # (ndof,) model dtype, 1 on free dofs
+    # loading
+    f_ext: jax.Array  # (ndof,)
+    f_free: jax.Array  # (nfree,)
+    # precomputed element quantities
+    B: jax.Array  # (nele, nqpt, 3, 8)
+    dvol: jax.Array  # (nele, nqpt)
+    ke_lam: jax.Array  # (nele, 8, 8)
+    ke_mu: jax.Array  # (nele, 8, 8)
+    # dense affine parts on free dofs (None for matrix-free models)
+    k_lam_ff: Optional[jax.Array]  # (nfree, nfree)
+    k_mu_ff: Optional[jax.Array]
+    # static metadata
+    nnodes: int = struct.field(pytree_node=False, default=0)
+    nele: int = struct.field(pytree_node=False, default=0)
+    ndof: int = struct.field(pytree_node=False, default=0)
+    nfree: int = struct.field(pytree_node=False, default=0)
+    nqpt: int = struct.field(pytree_node=False, default=0)
+    thk: float = struct.field(pytree_node=False, default=10.0)
+    stype: int = struct.field(pytree_node=False, default=2)
+    dense: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def dtype(self):
+        return self.coords.dtype
+
+
+def _dof_maps(mesh: MeshData):
+    """ID/LM/free/supported dof index arrays, 0-based interleaved."""
+    nnodes = mesh.nnodes
+    ndof = nnodes * 2
+    lm = np.empty((mesh.nele, 8), dtype=np.int32)
+    lm[:, 0::2] = mesh.conn * 2
+    lm[:, 1::2] = mesh.conn * 2 + 1
+
+    fixed = np.zeros(ndof, dtype=bool)
+    for node, flags in zip(mesh.bc_nodes, mesh.bc_flags):
+        if flags[0]:
+            fixed[2 * node] = True
+        if flags[1]:
+            fixed[2 * node + 1] = True
+    # prescribed displacements also mark dofs as supported
+    # (reference merges DISPlacement rows into the support table,
+    #  src/fem_preprocess.py:252-262)
+    for node, vals in zip(mesh.disp_nodes, mesh.disp_vals):
+        if vals[0] != 0.0:
+            fixed[2 * node] = True
+        if vals[1] != 0.0:
+            fixed[2 * node + 1] = True
+
+    supp_dof = np.nonzero(fixed)[0].astype(np.int32)
+    free_dof = np.nonzero(~fixed)[0].astype(np.int32)
+    return lm, free_dof, supp_dof
+
+
+def _load_vector(mesh: MeshData, ndof: int):
+    f = np.zeros(ndof, dtype=np.float64)
+    for node, vals in zip(mesh.load_nodes, mesh.load_vals):
+        f[2 * node] += vals[0]
+        f[2 * node + 1] += vals[1]
+    return f
+
+
+def _element_geometry(coords, conn, qpts, qwts, thk):
+    """Host-side (NumPy) B-matrix / dvol precompute for all (elem, qpt)."""
+    nele = conn.shape[0]
+    nqpt = qpts.shape[0]
+    xl = coords[conn]  # (nele, 4, 2)
+
+    s = np.array([-1.0, 1.0, 1.0, -1.0])
+    t = np.array([-1.0, -1.0, 1.0, 1.0])
+    B = np.zeros((nele, nqpt, 3, 8))
+    dvol = np.zeros((nele, nqpt))
+    for q in range(nqpt):
+        xi, eta = qpts[q]
+        dn_dxi = 0.25 * s * (1.0 + t * eta)  # (4,)
+        dn_deta = 0.25 * t * (1.0 + s * xi)
+        dn_nat = np.stack([dn_dxi, dn_deta], axis=1)  # (4, 2)
+        # J[e] = dn_nat.T @ xl[e] : (nele, 2, 2)
+        J = np.einsum("na,enb->eab", dn_nat, xl)
+        detj = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+        inv_t = (
+            np.stack(
+                [
+                    np.stack([J[:, 1, 1], -J[:, 1, 0]], axis=-1),
+                    np.stack([-J[:, 0, 1], J[:, 0, 0]], axis=-1),
+                ],
+                axis=1,
+            )
+            / detj[:, None, None]
+        )
+        dn_glob = np.einsum("na,eab->enb", dn_nat, inv_t)  # (nele, 4, 2)
+        B[:, q, 0, 0::2] = dn_glob[:, :, 0]
+        B[:, q, 1, 1::2] = dn_glob[:, :, 1]
+        B[:, q, 2, 0::2] = dn_glob[:, :, 1]
+        B[:, q, 2, 1::2] = dn_glob[:, :, 0]
+        dvol[:, q] = thk * detj * qwts[q]
+    return B, dvol
+
+
+def build_fem_model(
+    mesh: MeshData,
+    section: SectionCard = SectionCard(),
+    *,
+    dense: Optional[bool] = None,
+    dtype=jnp.float64,
+) -> FemModel:
+    """Preprocess a mesh into the frozen FemModel pytree.
+
+    ``dense=None`` auto-selects: dense affine K parts when the free-dof count
+    is small enough for batched Cholesky (< 4096), matrix-free otherwise.
+    """
+    if section.etype != 1 or mesh.max_ele_node != 4:
+        raise NotImplementedError("quad4 meshes only (reference problem class)")
+    if section.stype != 2:
+        raise NotImplementedError("plane strain only for now (reference default)")
+
+    lm, free_dof, supp_dof = _dof_maps(mesh)
+    ndof = mesh.nnodes * 2
+    f_ext = _load_vector(mesh, ndof)
+
+    qpts, qwts = quadrature.quadr2d(section.intp, 4)
+    B, dvol = _element_geometry(mesh.coords, mesh.conn, qpts, qwts, section.thk)
+
+    # affine element stiffness parts: ke_p = sum_q dvol_q B^T C_p B
+    ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C_LAM3, B, dvol, optimize=True)
+    ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C_MU3, B, dvol, optimize=True)
+
+    nfree = free_dof.shape[0]
+    if dense is None:
+        dense = nfree <= 4096
+
+    k_lam_ff = k_mu_ff = None
+    if dense:
+        K_lam = np.zeros((ndof, ndof))
+        K_mu = np.zeros((ndof, ndof))
+        for e in range(lm.shape[0]):
+            idx = lm[e]
+            K_lam[np.ix_(idx, idx)] += ke_lam[e]
+            K_mu[np.ix_(idx, idx)] += ke_mu[e]
+        k_lam_ff = K_lam[np.ix_(free_dof, free_dof)]
+        k_mu_ff = K_mu[np.ix_(free_dof, free_dof)]
+
+    free_mask = np.zeros(ndof)
+    free_mask[free_dof] = 1.0
+
+    as_dt = lambda x: jnp.asarray(x, dtype=dtype)
+    return FemModel(
+        coords=as_dt(mesh.coords),
+        conn=jnp.asarray(mesh.conn, dtype=jnp.int32),
+        lm=jnp.asarray(lm, dtype=jnp.int32),
+        free_dof=jnp.asarray(free_dof, dtype=jnp.int32),
+        supp_dof=jnp.asarray(supp_dof, dtype=jnp.int32),
+        free_mask=as_dt(free_mask),
+        f_ext=as_dt(f_ext),
+        f_free=as_dt(f_ext[free_dof]),
+        B=as_dt(B),
+        dvol=as_dt(dvol),
+        ke_lam=as_dt(ke_lam),
+        ke_mu=as_dt(ke_mu),
+        k_lam_ff=as_dt(k_lam_ff) if k_lam_ff is not None else None,
+        k_mu_ff=as_dt(k_mu_ff) if k_mu_ff is not None else None,
+        nnodes=mesh.nnodes,
+        nele=mesh.nele,
+        ndof=ndof,
+        nfree=int(nfree),
+        nqpt=int(qpts.shape[0]),
+        thk=float(section.thk),
+        stype=section.stype,
+        dense=bool(dense),
+    )

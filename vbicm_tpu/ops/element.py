@@ -1,0 +1,120 @@
+"""Element-level kernels: B-matrices, constitutive law, stiffness, stress.
+
+TPU-first reformulation of the reference's per-point scalar loops
+(``src/mat_subroutine.py:7-183``, ``src/mat_subroutine_tf.py:8-390``):
+everything is a closed-form batched tensor contraction, evaluated under
+``vmap`` over (element, quadrature point) and, at training time, over the
+posterior-sample axis.
+
+Key structural idea — *affine material decomposition*. Isotropic linear
+elasticity is affine in the Lame parameters:
+
+    C(E, nu) = lam(E, nu) * C_LAM + mu(E, nu) * C_MU
+
+so the element stiffness splits as ``ke = lam * ke_lam + mu * ke_mu`` with
+theta-independent ``ke_lam = sum_q dvol_q B^T C_LAM B`` (and likewise mu).
+Those are precomputed once at model build; a per-sample "assembly" is then a
+2-term axpy instead of a quadrature loop. This is what lets the TPU path
+amortize all FEM geometry work across the whole VI training run.
+
+Voigt conventions follow the reference: in-plane strain vector
+``eps3 = [e11, e22, gamma12]`` (engineering shear), reduced stiffness rows
+[0, 1, 3] of the 4x4 plane-strain matrix (``src/mat_subroutine.py:291-299``),
+stress stored as the 6-vector ``[s11, s22, s33, t12, t23, t31]``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# Reduced (3x3) constitutive basis for plane strain:
+#   C3 = lam * C_LAM3 + mu * C_MU3, acting on [e11, e22, gamma12].
+C_LAM3 = np.array([[1.0, 1.0, 0.0], [1.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
+C_MU3 = np.array([[2.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 0.0, 1.0]])
+
+
+def lame_from_Ev(E, v):
+    """Lame parameters (lam, mu) from Young's modulus / Poisson ratio."""
+    lam = v * E / ((1.0 + v) * (1.0 - 2.0 * v))
+    mu = 0.5 * E / (1.0 + v)
+    return lam, mu
+
+
+def plane_strain_C3(E, v):
+    """Reduced 3x3 plane-strain stiffness (rows/cols [0,1,3] of the 4x4).
+
+    Matches reference ``isotropic_elasticity`` stype=2
+    (``src/mat_subroutine.py:291-299``).
+    """
+    lam, mu = lame_from_Ev(E, v)
+    dt = jnp.result_type(E, 1.0)
+    return lam * jnp.asarray(C_LAM3, dt) + mu * jnp.asarray(C_MU3, dt)
+
+
+def plane_stress_C3(E, v):
+    """Plane-stress 3x3 stiffness (reference ``isotropic_elasticity`` stype=1,
+    ``src/mat_subroutine.py:283-290``)."""
+    c = E / (1.0 - v**2)
+    z = jnp.zeros_like(jnp.asarray(E) * jnp.asarray(v))
+    one = z + 1.0
+    return c * jnp.stack(
+        [
+            jnp.stack([one, v + z, z]),
+            jnp.stack([v + z, one, z]),
+            jnp.stack([z, z, (1.0 - v) / 2.0 + z]),
+        ]
+    )
+
+
+def bmatrix(dn_glob):
+    """Strain-displacement matrix for one quadrature point.
+
+    dn_glob: (nel, 2) global shape gradients. Returns B (3, 2*nel) with dof
+    ordering interleaved [u1x, u1y, u2x, ...] (reference ``calculate_Bm_Nm``,
+    ``src/mat_subroutine.py:125-137``).
+    """
+    nel = dn_glob.shape[0]
+    dt = dn_glob.dtype
+    b = jnp.zeros((3, 2 * nel), dtype=dt)
+    cols_x = jnp.arange(nel) * 2
+    cols_y = cols_x + 1
+    b = b.at[0, cols_x].set(dn_glob[:, 0])
+    b = b.at[1, cols_y].set(dn_glob[:, 1])
+    b = b.at[2, cols_x].set(dn_glob[:, 1])
+    b = b.at[2, cols_y].set(dn_glob[:, 0])
+    return b
+
+
+def element_stiffness_parts(B, dvol):
+    """Theta-independent stiffness parts for one element.
+
+    B: (nqpt, 3, 2*nel) global B-matrices; dvol: (nqpt,) = thk * detJ * w.
+    Returns (ke_lam, ke_mu), each (2*nel, 2*nel), with
+    ``ke = lam*ke_lam + mu*ke_mu = sum_q dvol_q B_q^T C(lam,mu) B_q``.
+    """
+    dt = B.dtype
+    clam = jnp.asarray(C_LAM3, dt)
+    cmu = jnp.asarray(C_MU3, dt)
+    ke_lam = jnp.einsum("qai,ab,qbj,q->ij", B, clam, B, dvol)
+    ke_mu = jnp.einsum("qai,ab,qbj,q->ij", B, cmu, B, dvol)
+    return ke_lam, ke_mu
+
+
+def stress6_plane_strain(eps3, lam, mu):
+    """Full 6-component stress from in-plane strain (plane strain).
+
+    eps3: (..., 3) = [e11, e22, gamma12]. Returns (..., 6) stress
+    [s11, s22, s33, t12, t23, t31] — the layout the reference stores in
+    ``out_data['ele_stress']`` (``src/mat_subroutine.py:76-81,291-299``):
+    s33 = lam*(e11+e22) is carried even though e33 = 0.
+    """
+    e11 = eps3[..., 0]
+    e22 = eps3[..., 1]
+    g12 = eps3[..., 2]
+    tr = e11 + e22
+    s11 = lam * tr + 2.0 * mu * e11
+    s22 = lam * tr + 2.0 * mu * e22
+    s33 = lam * tr
+    t12 = mu * g12
+    zero = jnp.zeros_like(s11)
+    return jnp.stack([s11, s22, s33, t12, zero, zero], axis=-1)

@@ -1,0 +1,183 @@
+"""Forward FEM solve and the differentiable observation operator.
+
+The functional replacement for the reference's solver drivers
+(``FemSolver.fea_solution`` in ``src/fem_solver.py:13`` /
+``src/fem_solver_tf.py:14``): one pure function from material parameters to
+the full solution state, differentiable end to end through the linear solve
+(custom VJP, see ``ops.solve``), with the probe observables
+``fh(theta) -> (y, h)`` of ``src/data_generation_2sam_more_loss.py:177-192``
+as a ``vmap``-able pure function.
+
+For the reference's linear problem the "Newton" iteration collapses to a
+single solve ``K(lam, mu) u_f = f_f`` (the reference runs exactly one NR
+iteration too, with the convergence check disabled in the TF path,
+``src/fem_solver_tf.py:183``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .config import MaterialCard, ProblemConfig
+from .model import FemModel
+from .ops.element import lame_from_Ev, stress6_plane_strain
+from .ops.solve import make_dense_affine_solver, make_matfree_affine_solver
+from .ops.vonmises import von_mises_reference
+
+
+@struct.dataclass
+class FemSolution:
+    """Result of one forward analysis (reference out_data equivalents)."""
+
+    u: jax.Array  # (ndof,) nodal displacements, supports = 0
+    strain: jax.Array  # (nele, nqpt, 6) [e11, e22, e33, g12, g23, g31]
+    stress: jax.Array  # (nele, nqpt, 6) [s11, s22, s33, t12, t23, t31]
+    reactions: jax.Array  # (ndof,) support reactions (nonzero on supp dofs)
+
+    def nodal_disp(self, nnodes: int) -> jax.Array:
+        """(2, nnodes) layout of the reference's ``nodal_disp``
+        (``src/fem_solver.py:153``)."""
+        return self.u.reshape(nnodes, 2).T
+
+
+def make_solver(
+    model: FemModel,
+    *,
+    factor_dtype=None,
+    refine_iters: int = 0,
+    cg_tol: float = 1e-12,
+    cg_maxiter: int = 4000,
+) -> Callable:
+    """Build ``solve_free(lam, mu) -> u (ndof,)`` for this model.
+
+    Dense models: affine Cholesky with adjoint VJP (optionally mixed
+    precision). Matrix-free models: Jacobi-PCG on the element operator.
+    """
+    if model.dense:
+        parts = jnp.stack([model.k_lam_ff, model.k_mu_ff])
+        base = make_dense_affine_solver(
+            parts, factor_dtype=factor_dtype, refine_iters=refine_iters
+        )
+        free_dof = model.free_dof
+        ndof = model.ndof
+        f_free = model.f_free
+
+        def solve_free(lam, mu):
+            coeffs = jnp.stack([lam, mu])
+            u_f = base(coeffs, f_free)
+            u = jnp.zeros((ndof,), dtype=u_f.dtype).at[free_dof].set(u_f)
+            return u
+
+        return solve_free
+
+    ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
+    base = make_matfree_affine_solver(
+        ke_parts, model.lm, model.free_mask, model.ndof, tol=cg_tol, maxiter=cg_maxiter
+    )
+    f_masked = model.f_ext * model.free_mask
+
+    def solve_free(lam, mu):
+        coeffs = jnp.stack([lam, mu])
+        return base(coeffs, f_masked)
+
+    return solve_free
+
+
+def recover_fields(model: FemModel, u, lam, mu) -> Tuple[jax.Array, jax.Array]:
+    """Per-(element, qpt) strain/stress 6-vectors from the displacement field.
+
+    Matches reference storage (``src/mat_subroutine.py:76-81``): plane-strain
+    strain rows [e11, e22, 0, g12, 0, 0]; stress includes s33 = lam*(e11+e22).
+    """
+    ue = u[model.lm]  # (nele, 8)
+    eps3 = jnp.einsum("eqai,ei->eqa", model.B, ue)  # (nele, nqpt, 3)
+    sig6 = stress6_plane_strain(eps3, lam, mu)
+    zero = jnp.zeros_like(eps3[..., 0])
+    eps6 = jnp.stack(
+        [eps3[..., 0], eps3[..., 1], zero, eps3[..., 2], zero, zero], axis=-1
+    )
+    return eps6, sig6
+
+
+def fea_solution(
+    model: FemModel,
+    material: MaterialCard = MaterialCard(),
+    *,
+    solve_free: Optional[Callable] = None,
+) -> FemSolution:
+    """Full forward analysis for a given material (reference ``fea_solution``)."""
+    lam = jnp.asarray(material.lam, model.dtype)
+    mu = jnp.asarray(material.mu, model.dtype)
+    if solve_free is None:
+        solve_free = make_solver(model)
+    u = solve_free(lam, mu)
+    eps6, sig6 = recover_fields(model, u, lam, mu)
+    # support reactions = F_int on supported dofs (reference
+    # ``update_nodal_data``, src/fem_solver.py:155-160)
+    fe = jnp.einsum("eqai,eq,ab,eqbj,ej->ei", model.B, model.dvol, _c3(lam, mu), model.B, u[model.lm])
+    f_int = jnp.zeros((model.ndof,), dtype=u.dtype).at[model.lm.reshape(-1)].add(fe.reshape(-1))
+    reactions = f_int * (1.0 - model.free_mask)
+    return FemSolution(u=u, strain=eps6, stress=sig6, reactions=reactions)
+
+
+def _c3(lam, mu):
+    from .ops.element import C_LAM3, C_MU3
+
+    return lam * jnp.asarray(C_LAM3, jnp.result_type(lam)) + mu * jnp.asarray(
+        C_MU3, jnp.result_type(mu)
+    )
+
+
+def probe_von_mises(model: FemModel, u, lam, mu, ele_id: int, nipt_id) -> jax.Array:
+    """Reference-convention von Mises at 1-based element/qpt probe ids
+    (``src/fem_postprocess.py:163-170``)."""
+    e = ele_id - 1
+    q = jnp.asarray(nipt_id) - 1
+    ue = u[model.lm[e]]
+    eps3 = jnp.einsum("qai,i->qa", model.B[e, q], ue)
+    sig6 = stress6_plane_strain(eps3, lam, mu)
+    return von_mises_reference(sig6)
+
+
+def make_fh_fun(
+    model: FemModel,
+    cfg: ProblemConfig = ProblemConfig(),
+    *,
+    factor_dtype=None,
+    refine_iters: int = 0,
+) -> Callable:
+    """Build the observation operator ``fh(theta) -> (y, h)``.
+
+    theta: (2,) standard-normal parameters; the map to (E, nu) follows
+    ``main_custom_training.py:32`` / ``src/data_generation_2sam_more_loss.py:182-186``:
+        E  = exp(std0 * t0 + mean0)
+        nu = 0.5 * sigmoid(std1 * t1 + mean1)
+    y = (ux, uy) at ``cfg.node_id``; h = reference von Mises at
+    ``cfg.ele_id``, qpts ``cfg.nipt_id``. Batch with ``jax.vmap(fh)``.
+    """
+    solve_free = make_solver(model, factor_dtype=factor_dtype, refine_iters=refine_iters)
+    tm = jnp.asarray(cfg.theta_map.theta_mean, model.dtype)
+    ts = jnp.asarray(cfg.theta_map.theta_std, model.dtype)
+    obs_dofs = jnp.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])
+    e = cfg.ele_id - 1
+    q = jnp.asarray(cfg.nipt_id, dtype=jnp.int32) - 1
+    B_probe = model.B[e, q]  # (nq, 3, 8)
+    lm_probe = model.lm[e]
+
+    def fh(theta):
+        theta = jnp.asarray(theta, model.dtype)
+        E = jnp.exp(ts[0] * theta[0] + tm[0])
+        v = 0.5 * jax.nn.sigmoid(ts[1] * theta[1] + tm[1])
+        lam, mu = lame_from_Ev(E, v)
+        u = solve_free(lam, mu)
+        y = u[obs_dofs]
+        eps3 = jnp.einsum("qai,i->qa", B_probe, u[lm_probe])
+        sig6 = stress6_plane_strain(eps3, lam, mu)
+        h = von_mises_reference(sig6)
+        return y, h
+
+    return fh
