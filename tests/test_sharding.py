@@ -1,0 +1,71 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates the multi-chip design without TPU hardware: sample-axis-sharded
+FEM batches and fully sharded training steps must agree with the
+single-device path (SURVEY §4(e)).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vbicm_tpu.config import ProblemConfig, TrainConfig
+from vbicm_tpu.parallel import get_mesh, make_sharded_batch_fh, shard_batch
+from vbicm_tpu.prob.datagen import generate_data_fem
+from vbicm_tpu.solver import make_fh_fun
+from vbicm_tpu.vi.train import TwoStepTrainer
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 fake CPU devices"
+    return get_mesh(8)
+
+
+def test_sharded_batch_fh_matches_single(cooks_model, mesh):
+    fh = make_fh_fun(cooks_model)
+    thetas = jnp.asarray(np.random.default_rng(0).normal(size=(64, 2)))
+    y_ref, h_ref = jax.jit(jax.vmap(fh))(thetas)
+
+    sharded = make_sharded_batch_fh(fh, mesh)
+    th_sharded = shard_batch(thetas, mesh)
+    y_s, h_s = sharded(th_sharded)
+    # each device solved its own shard of K(theta) systems
+    assert len(y_s.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_ref), atol=1e-12)
+
+
+def test_sharded_training_step_matches_single(cooks_model, mesh):
+    """One epoch of step-1 training, sharded vs unsharded, same key."""
+    fh = make_fh_fun(cooks_model)
+    ds = generate_data_fem(
+        jax.random.PRNGKey(0), jax.jit(jax.vmap(fh)), n_sam=64, ne_sam=4
+    )
+    tcfg = TrainConfig(batch_size=32, num_epoch1=2)
+    key = jax.random.PRNGKey(42)
+
+    t_single = TwoStepTrainer(cooks_model, ProblemConfig(), tcfg)
+    p1, h1 = t_single.train_step1(ds.y_data, ds.e_data, key, num_epochs=2)
+
+    t_sharded = TwoStepTrainer(cooks_model, ProblemConfig(), tcfg, mesh=mesh)
+    p2, h2 = t_sharded.train_step1(ds.y_data, ds.e_data, key, num_epochs=2)
+
+    np.testing.assert_allclose(h1, h2, rtol=1e-8)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
+def test_matrix_free_solver_under_mesh(cooks_mesh, mesh):
+    """Element-operator CG path works with a sharded sample axis too."""
+    from vbicm_tpu.model import build_fem_model
+
+    mf_model = build_fem_model(cooks_mesh, dense=False)
+    fh = make_fh_fun(mf_model)
+    thetas = jnp.asarray(np.random.default_rng(1).normal(size=(16, 2)))
+    y_ref, _ = jax.jit(jax.vmap(fh))(thetas)
+    sharded = make_sharded_batch_fh(fh, mesh)
+    y_s, _ = sharded(shard_batch(thetas, mesh))
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_ref), atol=1e-8)

@@ -1,0 +1,179 @@
+"""VI layer tests: ELBO terms, dataset generation, two-step training smoke."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vbicm_tpu.config import ProblemConfig, TrainConfig
+from vbicm_tpu.prob.datagen import generate_data_fem, load_dataset, save_dataset
+from vbicm_tpu.solver import make_fh_fun
+from vbicm_tpu.vi.elbo import (
+    make_loss_step1,
+    moment_match_loss,
+    reparameterize,
+    term1,
+    term2,
+    term3,
+    term4,
+    term5,
+)
+from vbicm_tpu.vi.train import TwoStepTrainer
+
+
+def test_term1_term3_closed_form():
+    # for log_sig = 0 (sig = 1), mean = 0: term1 = -0.5 d log 2pi - 0.5 d
+    d = 2
+    ls = jnp.zeros((5, d))
+    np.testing.assert_allclose(
+        float(term1(ls)), -0.5 * d * np.log(2 * np.pi) - 0.5 * d, atol=1e-12
+    )
+    tm = jnp.zeros((5, d))
+    tsig = jnp.ones((5, d))
+    np.testing.assert_allclose(
+        float(term3(tm, tsig)), -0.5 * d * np.log(2 * np.pi) - 0.5 * d, atol=1e-12
+    )
+
+
+def test_reparameterize_layout():
+    tm = jnp.array([[1.0, 2.0], [3.0, 4.0]])
+    tsig = jnp.ones((2, 2)) * 4.0
+    e = jnp.array([[0.5, -0.5], [1.0, 1.0], [0.0, 0.0]])
+    th = reparameterize(tm, tsig, e)
+    assert th.shape == (6, 2)
+    # row ordering: y0's ne samples first, then y1's
+    np.testing.assert_allclose(np.asarray(th[0]), [1 + 2 * 0.5, 2 - 2 * 0.5])
+    np.testing.assert_allclose(np.asarray(th[3]), [3 + 2 * 0.5, 4 - 2 * 0.5])
+
+
+def test_term2_cross_vs_per_sample():
+    """Cross pairing (reference broadcast) vs per-sample pairing differ
+    unless B = 1, in which case they coincide."""
+    key = jax.random.PRNGKey(0)
+    f = lambda th: th * 2.0  # identity-ish linear map
+    y = jax.random.normal(key, (3, 2))
+    tm = jax.random.normal(jax.random.PRNGKey(1), (3, 2))
+    tsig = jnp.ones((3, 2)) * 0.1
+    e = jax.random.normal(jax.random.PRNGKey(2), (4, 2))
+    t_cross = float(term2(y, tm, tsig, e, f, 0.1, "cross"))
+    t_per = float(term2(y, tm, tsig, e, f, 0.1, "per_sample"))
+    assert t_cross != pytest.approx(t_per)
+    t_cross1 = float(term2(y[:1], tm[:1], tsig, e, f, 0.1, "cross"))
+    t_per1 = float(term2(y[:1], tm[:1], tsig[:1], e, f, 0.1, "per_sample"))
+    np.testing.assert_allclose(t_cross1, t_per1, rtol=1e-12)
+
+
+def test_term2_manual_value():
+    """term2 cross mode against a hand-rolled numpy evaluation."""
+    rng = np.random.default_rng(0)
+    y = rng.normal(size=(2, 2))
+    tm = rng.normal(size=(2, 2))
+    tsig = np.abs(rng.normal(size=(2, 2))) + 0.5
+    e = rng.normal(size=(3, 2))
+    sig_e = 0.1
+    f = lambda th: jnp.sin(th)
+    theta = e[None] * np.sqrt(tsig)[:, None] + tm[:, None]  # (2, 3, 2)
+    f_np = np.sin(theta.reshape(-1, 2))  # (6, 2)
+    l2 = -0.5 / sig_e * ((y[:, None, :] - f_np[None]) ** 2).sum(-1)  # (2, 6)
+    expected = -0.5 * 2 * np.log(2 * np.pi * sig_e) + l2.mean()
+    got = float(term2(jnp.asarray(y), jnp.asarray(tm), jnp.asarray(tsig), jnp.asarray(e), f, sig_e))
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+def test_term4_term5_shapes_and_values():
+    rng = np.random.default_rng(1)
+    zm = jnp.asarray(rng.normal(size=(3, 2)) * 0.1)
+    lzs = jnp.asarray(rng.normal(size=(3, 2)) * 0.1)
+    zs = jnp.exp(lzs)
+    t4 = float(term4(zm, lzs))
+    d = 2
+    expected4 = (
+        float(jnp.mean(-0.5 * jnp.sum(lzs, -1) - jnp.sum(zm, -1)))
+        - 0.5 * d * np.log(2 * np.pi)
+        - 0.5 * d
+    )
+    np.testing.assert_allclose(t4, expected4, rtol=1e-12)
+
+    tm = jnp.asarray(rng.normal(size=(3, 2)))
+    tsig = jnp.ones((3, 2)) * 0.2
+    e = jnp.asarray(rng.normal(size=(4, 2)))
+    h = lambda th: jnp.exp(0.1 * th) + 1.0
+    t5 = float(term5(tm, tsig, zm, zs, e, h, 3e-3))
+    assert np.isfinite(t5)
+
+
+@pytest.fixture(scope="module")
+def small_fem_data(cooks_model):
+    fh = make_fh_fun(cooks_model)
+    batch_fh = jax.jit(jax.vmap(fh))
+    ds = generate_data_fem(
+        jax.random.PRNGKey(0), batch_fh, n_sam=64, ne_sam=4, sig_e=1e-1, sig_eta=3e-3
+    )
+    return ds
+
+
+def test_generate_data_fem(small_fem_data):
+    ds = small_fem_data
+    assert ds.y_data.shape == (64, 2)
+    assert ds.z_data.shape == (64, 2)
+    assert ds.e_data.shape == (4, 2)
+    assert np.all(ds.z_data > 0)  # von Mises + small noise stays positive
+    np.testing.assert_allclose(ds.log_z_data, np.log(ds.z_data), atol=1e-12)
+
+
+def test_dataset_roundtrip(tmp_path, small_fem_data):
+    p = str(tmp_path / "ds.h5")
+    save_dataset(small_fem_data, p)
+    ds2 = load_dataset(p)
+    np.testing.assert_allclose(ds2.y_data, small_fem_data.y_data)
+    np.testing.assert_allclose(ds2.e_data, small_fem_data.e_data)
+
+
+def test_load_reference_dataset():
+    import os
+
+    path = "/root/reference/data_fem_test_big_noise.h5"
+    if not os.path.exists(path):
+        pytest.skip("reference mount absent")
+    ds = load_dataset(path)
+    assert ds.y_data.shape == (10000, 2)
+    assert ds.e_data.shape == (4, 2)
+    # values consistent with the generating process
+    assert np.all(ds.z_data > 0)
+    assert abs(ds.y_data.mean()) < 10
+
+
+def test_two_step_training_smoke(cooks_model, small_fem_data):
+    """Short run: both losses must decrease (BASELINE configs[2/3] smoke)."""
+    ds = small_fem_data
+    tcfg = TrainConfig(batch_size=32, num_epoch1=5, num_epoch2=5)
+    trainer = TwoStepTrainer(cooks_model, ProblemConfig(), tcfg)
+    res = trainer.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(0))
+    assert res.hist_step1[-1] < res.hist_step1[0]
+    assert res.hist_step2[-1] < res.hist_step2[0]
+    assert np.isfinite(res.hist_step1).all() and np.isfinite(res.hist_step2).all()
+    # predictive moments should be close to the bridge targets after step 2
+    tm, tsig, zm, zs = trainer.predict(res.theta_params, res.z_params, ds.y_data)
+    assert zm.shape == (64, 2)
+    mse = float(np.mean((np.asarray(zm) - res.logz_mean_post) ** 2))
+    assert mse < 1.0
+
+
+def test_lr_decay_modes(cooks_model, small_fem_data):
+    """Reference quirk: with positive losses the decay never fires; the
+    'fixed' mode fires on plateau."""
+    ds = small_fem_data
+    tcfg = TrainConfig(batch_size=64, num_epoch1=1, lr_patience=2)
+    trainer = TwoStepTrainer(cooks_model, ProblemConfig(), tcfg)
+    hist = np.array([5.0, 4.0, 6.0, 7.0])  # rising after epoch 1
+    # reference mode: hist[epoch-patience] > 0 -> 0 - positive < 0 -> no fire
+    opt = trainer._opt_step1()
+    params = trainer.theta_net.init(jax.random.PRNGKey(0), jnp.zeros((1, 2)))
+    state = opt.init(params)
+    lr0 = float(state.hyperparams["learning_rate"])
+    state, fired = trainer._lr_decay(state, hist, 2, loss_val=6.0)
+    assert not fired and float(state.hyperparams["learning_rate"]) == lr0
+    # fixed mode fires when loss increased over the window
+    trainer.tcfg = TrainConfig(batch_size=64, lr_patience=2, lr_decay_mode="fixed")
+    state, fired = trainer._lr_decay(state, np.array([5.0, 4.0, 8.0, 7.0]), 2, loss_val=8.0)
+    assert fired
+    assert float(state.hyperparams["learning_rate"]) == pytest.approx(lr0 * 0.9)

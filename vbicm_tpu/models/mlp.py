@@ -1,0 +1,92 @@
+"""Inference / predictive networks.
+
+The reference builds four independent Keras MLPs (3 hidden x 20 relu each,
+``main_custom_training.py:128-176``):
+
+  * theta_mean(y), log_theta_sig(y)  — Gaussian posterior q(theta|y)
+    with theta_sig = exp(log_theta_sig) (a *variance*),
+  * z_mean(y), log_z_sig(y)          — lognormal predictive p(z|y)
+    with z_sig = exp(log_z_sig).
+
+Here they are two flax modules (posterior pair / predictive pair) so the
+two-step schedule's freeze semantics (``vi_pred_model_step1.trainable =
+False``, ``main_custom_training.py:305``) fall out of training separate
+param trees rather than flag-flipping. Initialization matches Keras Dense
+defaults (glorot-uniform kernels, zero biases) so loss trajectories are
+statistically comparable to the reference.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class MLP(nn.Module):
+    """Dense relu stack with a linear head (Keras-default init)."""
+
+    hidden: int = 20
+    n_layers: int = 3
+    out_dim: int = 2
+    dtype: jnp.dtype = jnp.float64
+
+    @nn.compact
+    def __call__(self, x):
+        k_init = nn.initializers.glorot_uniform()
+        for _ in range(self.n_layers):
+            x = nn.Dense(self.hidden, kernel_init=k_init, dtype=self.dtype,
+                         param_dtype=self.dtype)(x)
+            x = nn.relu(x)
+        return nn.Dense(self.out_dim, kernel_init=k_init, dtype=self.dtype,
+                        param_dtype=self.dtype)(x)
+
+
+class ThetaPosteriorNet(nn.Module):
+    """q(theta|y): returns (theta_mean, theta_sig, log_theta_sig)."""
+
+    hidden: int = 20
+    n_layers: int = 3
+    theta_dim: int = 2
+    dtype: jnp.dtype = jnp.float64
+
+    @nn.compact
+    def __call__(self, y):
+        theta_mean = MLP(self.hidden, self.n_layers, self.theta_dim, self.dtype,
+                         name="theta_mean_net")(y)
+        log_theta_sig = MLP(self.hidden, self.n_layers, self.theta_dim, self.dtype,
+                            name="theta_sig_net")(y)
+        return theta_mean, jnp.exp(log_theta_sig), log_theta_sig
+
+
+class ZPredictiveNet(nn.Module):
+    """p(z|y) lognormal: returns (z_mean, z_sig, log_z_sig)."""
+
+    hidden: int = 20
+    n_layers: int = 3
+    z_dim: int = 2
+    dtype: jnp.dtype = jnp.float64
+
+    @nn.compact
+    def __call__(self, y):
+        z_mean = MLP(self.hidden, self.n_layers, self.z_dim, self.dtype,
+                     name="z_mean_net")(y)
+        log_z_sig = MLP(self.hidden, self.n_layers, self.z_dim, self.dtype,
+                        name="z_sig_net")(y)
+        return z_mean, jnp.exp(log_z_sig), log_z_sig
+
+
+def init_vi_networks(key, y_dim=2, theta_dim=2, z_dim=2, hidden=20,
+                     n_layers1=3, n_layers2=3, dtype=jnp.float64):
+    """Initialize both nets; returns (theta_net, theta_params, z_net, z_params)."""
+    k1, k2 = jax.random.split(key)
+    dummy = jnp.zeros((1, y_dim), dtype)
+    theta_net = ThetaPosteriorNet(hidden, n_layers1, theta_dim, dtype)
+    z_net = ZPredictiveNet(hidden, n_layers2, z_dim, dtype)
+    return (
+        theta_net,
+        theta_net.init(k1, dummy),
+        z_net,
+        z_net.init(k2, dummy),
+    )

@@ -43,21 +43,6 @@ from .assembly import element_matvec
 # ---------------------------------------------------------------------------
 
 
-def _factor(K, factor_dtype):
-    Kf = K.astype(factor_dtype) if factor_dtype is not None else K
-    return cho_factor(Kf, lower=True)
-
-
-def _solve_refined(cfac, K, b, refine_iters):
-    """Solve K x = b with the (possibly lower-precision) factor + refinement."""
-    fdt = cfac[0].dtype
-    x = cho_solve(cfac, b.astype(fdt)).astype(b.dtype)
-    for _ in range(refine_iters):
-        r = b - K @ x
-        x = x + cho_solve(cfac, r.astype(fdt)).astype(b.dtype)
-    return x
-
-
 def make_dense_affine_solver(parts, *, factor_dtype=None, refine_iters: int = 0):
     """Build a differentiable solver for ``(sum_p c_p parts_p) u = f``.
 
@@ -65,8 +50,33 @@ def make_dense_affine_solver(parts, *, factor_dtype=None, refine_iters: int = 0)
     captured as constants. Returns ``solve(coeffs (P,), f (n,)) -> u (n,)``
     with the adjoint custom VJP. ``factor_dtype=jnp.float32`` +
     ``refine_iters>=2`` is the TPU mixed-precision mode.
+
+    Memory/perf design for the batched (vmapped) case: the per-sample matrix
+    is built DIRECTLY in the factor dtype (K32 = sum c_p parts32_p), so no
+    (B, n, n) float64 tensor ever exists on device; iterative-refinement
+    residuals are computed matrix-free through the shared affine parts
+    (``r = f - sum_p c_p (P_p @ x)``, two (n,n)@(n,) matvecs against
+    replicated constants). Per-sample device footprint is one f32 factor.
     """
     parts = jnp.asarray(parts)
+    parts_f = parts if factor_dtype is None else parts.astype(factor_dtype)
+
+    def _affine_matvec(coeffs, x):
+        """sum_p c_p (parts_p @ x) in the precision of x."""
+        px = jnp.einsum("pij,j->pi", parts, x)
+        return coeffs.astype(x.dtype) @ px
+
+    def _factor(coeffs):
+        Kf = jnp.tensordot(coeffs.astype(parts_f.dtype), parts_f, axes=1)
+        return cho_factor(Kf, lower=True)
+
+    def _solve_refined(cfac, coeffs, b):
+        fdt = cfac[0].dtype
+        x = cho_solve(cfac, b.astype(fdt)).astype(b.dtype)
+        for _ in range(refine_iters):
+            r = b - _affine_matvec(coeffs, x)
+            x = x + cho_solve(cfac, r.astype(fdt)).astype(b.dtype)
+        return x
 
     @jax.custom_vjp
     def solve(coeffs, f):
@@ -74,14 +84,13 @@ def make_dense_affine_solver(parts, *, factor_dtype=None, refine_iters: int = 0)
         return u
 
     def _fwd(coeffs, f):
-        K = jnp.tensordot(coeffs.astype(parts.dtype), parts, axes=1)
-        cfac = _factor(K, factor_dtype)
-        u = _solve_refined(cfac, K, f, refine_iters)
-        return u, (coeffs, u, cfac, K)
+        cfac = _factor(coeffs)
+        u = _solve_refined(cfac, coeffs, f)
+        return u, (coeffs, u, cfac)
 
     def _bwd(res, ubar):
-        coeffs, u, cfac, K = res
-        w = _solve_refined(cfac, K, ubar, refine_iters)
+        coeffs, u, cfac = res
+        w = _solve_refined(cfac, coeffs, ubar)
         pu = jnp.einsum("pij,j->pi", parts, u)  # (P, n)
         cbar = -(pu @ w)
         return cbar.astype(coeffs.dtype), w

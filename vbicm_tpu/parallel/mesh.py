@@ -1,0 +1,59 @@
+"""Device-mesh utilities: the multi-chip story of this framework.
+
+The reference has no device parallelism at all — its only concurrency is
+``tf.map_fn(parallel_iterations=12)`` thread scheduling
+(``src/data_generation_2sam_more_loss.py:173-175``). Here the posterior-
+sample / batch axis is a first-class sharded dimension:
+
+  * ``shard_batch``   — place a (N, ...) array with rows split across the
+    ``data`` mesh axis (ICI collective domain);
+  * ``make_sharded_batch_fh`` — the batched FEM observation operator with
+    its sample axis sharded: each chip factorizes and solves its shard of
+    the K(theta) systems; XLA/GSPMD inserts the (tiny) all-gathers needed by
+    downstream cross-sample reductions;
+  * training steps are jitted with batch inputs sharded on ``data`` and
+    parameters replicated, so gradient reduction lowers to a psum over ICI.
+
+Element-axis sharding for refined meshes lives with the matrix-free CG
+solver (each device owns an element shard of the matvec; see
+``ops/solve.py`` + ``shard_map`` usage in bench/scaled configs).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D device mesh over the first n devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def shard_batch(x, mesh: Mesh, axis_name: str = "data"):
+    """Place x with its leading axis sharded across the mesh."""
+    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (e.g. params) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def make_sharded_batch_fh(fh: Callable, mesh: Mesh, axis_name: str = "data"):
+    """jit(vmap(fh)) with the sample axis sharded across the mesh.
+
+    fh: theta (d,) -> (y (d_y,), h (d_z,)). Returned fn maps
+    thetas (N, d) -> ((N, d_y), (N, d_z)) with N sharded; N must be
+    divisible by the mesh size for an even split (XLA pads otherwise).
+    """
+    in_s = NamedSharding(mesh, P(axis_name, None))
+    out_s = (NamedSharding(mesh, P(axis_name, None)),) * 2
+    return jax.jit(jax.vmap(fh), in_shardings=in_s, out_shardings=out_s)

@@ -1,0 +1,145 @@
+"""ELBO terms for the two-step amortized VI scheme.
+
+Exact math of ``main_custom_training.py``:
+
+  step 1 (q(theta|y), "Eq. 17/21/22"):   loss = term1 - term2 - term3
+  step 2 (p(z|y) lognormal, "Eq. 23/25"): loss = alpha*(term4 - term5)
+                                                  + moment_match_loss
+
+``sig_e`` / ``sig_eta`` are noise *variances*. ``e_data`` are the fixed
+reparameterization seeds (common random numbers) shared between data
+generation and training.
+
+Pairing semantics: with ``pairing="cross"`` (default) term2/term5 reproduce
+the reference's broadcasting *exactly*: ``y`` is expanded to (B, 1, d) and
+compared against the full flattened FEM batch (B*ne, d), producing a
+(B, B*ne) pair matrix that is then averaged (``main_custom_training.py:
+199-214,347-364``) — every observation is scored against every posterior
+sample in the batch, not only its own. ``pairing="per_sample"`` implements
+the textbook per-observation Monte-Carlo pairing. Both are provided;
+"cross" is the parity mode.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def term1(log_theta_sig):
+    """Entropy-like term of q(theta|y) ("Eq. 17", ``:183-185``)."""
+    d = log_theta_sig.shape[-1]
+    return (
+        -0.5 * jnp.mean(jnp.sum(log_theta_sig, axis=-1), axis=0)
+        - 0.5 * d * math.log(2.0 * math.pi)
+        - 0.5 * d
+    )
+
+
+def reparameterize(theta_mean, theta_sig, e_data):
+    """theta samples via fixed seeds: (B, d), (B, d), (ne, d) -> (B*ne, d).
+
+    Matches the reference broadcast ``e_data * sqrt(sig)[:,None] +
+    mean[:,None]`` then flatten (``:202-208``).
+    """
+    theta_std = jnp.sqrt(theta_sig)[:, None, :]
+    theta = e_data[None, :, :] * theta_std + theta_mean[:, None, :]
+    return theta.reshape(-1, theta.shape[-1])
+
+
+def term2(y, theta_mean, theta_sig, e_data, batch_f, sig_e, pairing="cross"):
+    """MC estimate of E_q[log p(y|theta)] with the FEM inside (``:199-214``).
+
+    batch_f: thetas (N, d_theta) -> f (N, d_y) (first output of fh).
+    """
+    d_y = y.shape[-1]
+    theta_data = reparameterize(theta_mean, theta_sig, e_data)
+    f_data = batch_f(theta_data)  # (B*ne, d_y)
+    l1 = -0.5 * d_y * math.log(2.0 * math.pi * sig_e)
+    if pairing == "cross":
+        # (B, 1, d) - (B*ne, d) -> (B, B*ne, d): reference's broadcast
+        l2 = -0.5 / sig_e * jnp.sum((y[:, None, :] - f_data[None, :, :]) ** 2, axis=-1)
+    elif pairing == "per_sample":
+        ne = e_data.shape[0]
+        f_r = f_data.reshape(y.shape[0], ne, d_y)
+        l2 = -0.5 / sig_e * jnp.sum((y[:, None, :] - f_r) ** 2, axis=-1)
+    else:
+        raise ValueError(f"unknown pairing {pairing!r}")
+    return l1 + jnp.mean(l2)
+
+
+def term3(theta_mean, theta_sig):
+    """Cross-entropy to the N(0, I) prior ("Eq. 22", ``:224-227``)."""
+    d = theta_mean.shape[-1]
+    return -0.5 * d * math.log(2.0 * math.pi) - 0.5 * jnp.mean(
+        jnp.sum(theta_sig + theta_mean**2, axis=-1), axis=0
+    )
+
+
+def make_loss_step1(batch_f, e_data, sig_e, pairing="cross"):
+    """loss(y, (theta_mean, theta_sig, log_theta_sig)) for step 1."""
+
+    def loss(y, outputs):
+        theta_mean, theta_sig, log_theta_sig = outputs
+        t1 = term1(log_theta_sig)
+        t2 = term2(y, theta_mean, theta_sig, e_data, batch_f, sig_e, pairing)
+        t3 = term3(theta_mean, theta_sig)
+        return t1 - t2 - t3
+
+    return loss
+
+
+def term4(z_mean, log_z_sig):
+    """Lognormal-entropy term ("Eq. 23", ``:338-340``)."""
+    d = z_mean.shape[-1]
+    loss = -0.5 * jnp.sum(log_z_sig, axis=-1) - jnp.sum(z_mean, axis=-1)
+    return jnp.mean(loss) - 0.5 * d * math.log(2.0 * math.pi) - 0.5 * d
+
+
+def term5(theta_mean, theta_sig, z_mean, z_sig, e_data, batch_h, sig_eta, pairing="cross"):
+    """E[log p(z|theta)] via lognormal moment identities ("Eq. 25", ``:347-364``).
+
+    batch_h: thetas (N, d_theta) -> h (N, d_z) (second output of fh).
+    """
+    d_z = z_mean.shape[-1]
+    theta_data = reparameterize(theta_mean, theta_sig, e_data)
+    h_data = batch_h(theta_data)  # (B*ne, d_z)
+    zm = z_mean[:, None, :]
+    zs = z_sig[:, None, :]
+    l1 = -0.5 / sig_eta * jnp.sum(jnp.exp(2.0 * zm + 2.0 * zs), axis=-1)  # (B, 1)
+    if pairing == "cross":
+        h = h_data[None, :, :]  # (1, B*ne, d)
+    elif pairing == "per_sample":
+        h = h_data.reshape(z_mean.shape[0], e_data.shape[0], d_z)
+    else:
+        raise ValueError(f"unknown pairing {pairing!r}")
+    l2 = -0.5 / sig_eta * jnp.sum(-2.0 * h * jnp.exp(zm + 0.5 * zs) + h**2, axis=-1)
+    l3 = -0.5 * d_z * math.log(2.0 * math.pi * sig_eta)
+    return jnp.mean(l1 + l2) + l3
+
+
+def moment_match_loss(z_mean, z_sig, logz_mean_post, logz_sig_post):
+    """MSE anchoring to cached posterior log-z moments (``:373-375``)."""
+    return jnp.mean((z_mean - logz_mean_post) ** 2) + jnp.mean(
+        (z_sig - logz_sig_post) ** 2
+    )
+
+
+def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross"):
+    """loss((y, logz_mean_post, logz_sig_post), outputs) for step 2.
+
+    outputs = (theta_mean, theta_sig, z_mean, z_sig, log_z_sig).
+    """
+
+    def loss(batch, outputs):
+        _, logz_mean_post, logz_sig_post = batch
+        theta_mean, theta_sig, z_mean, z_sig, log_z_sig = outputs
+        t4 = term4(z_mean, log_z_sig)
+        t5 = term5(theta_mean, theta_sig, z_mean, z_sig, e_data, batch_h, sig_eta, pairing)
+        return (t4 - t5) * alpha + moment_match_loss(
+            z_mean, z_sig, logz_mean_post, logz_sig_post
+        )
+
+    return loss

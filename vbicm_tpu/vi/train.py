@@ -1,0 +1,317 @@
+"""Two-step VI trainer.
+
+Functional rebuild of the reference training harness
+(``main_custom_training.py:243-434``):
+
+  step 1: fit q(theta|y) by reparameterized ELBO with the FEM inside the
+          likelihood — Adam(lr=1e-3, beta1=0.99, beta2=0.999, eps=1e-10)
+          (``:243``);
+  bridge: push posterior samples for every y through one big batched FEM
+          sweep, cache log-z moments (``:310-328``);
+  step 2: fit the lognormal predictive p(z|y) with step-1 parameters frozen
+          — Adam with Keras defaults (lr=1e-3, beta1=0.9, eps=1e-7)
+          (``:389``), loss = alpha*(term4 - term5) + moment matching.
+
+Training-semantics parity points, all replicated:
+  * fixed e_data common-random-number seeds in every loss evaluation;
+  * last-batch loss is what goes into the history (``:294,428``);
+  * checkpoints every num_epoch//5 epochs, filename ``{epoch:02d}-
+    {loss:.8f}`` (``:282-283,416-417``);
+  * the lr-decay quirk: the check reads the current epoch's history slot
+    *before* it is written (``:286-294``), so with positive losses it never
+    fires. ``lr_decay_mode="fixed"`` gives the intended decay-on-plateau.
+
+TPU mapping: the whole train step (nets + reparameterization + B*ne batched
+FEM solves + ELBO + Adam update) is ONE jitted function; with a device mesh
+the batch axis is sharded and XLA lowers the gradient reduction to psum over
+ICI. The reference runs 256 sequential FEM graphs per step through
+tf.map_fn threads; here it is a single batched Cholesky on the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..config import ProblemConfig, TrainConfig
+from ..model import FemModel
+from ..models.mlp import ThetaPosteriorNet, ZPredictiveNet
+from ..solver import make_fh_fun
+from .elbo import make_loss_step1, make_loss_step2
+
+
+@dataclasses.dataclass
+class TrainResult:
+    theta_params: Any
+    z_params: Any
+    hist_step1: np.ndarray
+    hist_step2: np.ndarray
+    logz_mean_post: np.ndarray
+    logz_sig_post: np.ndarray
+
+
+def _batches(n, batch_size):
+    """Split n into (n_full, remainder) batch sizes."""
+    return n // batch_size, n % batch_size
+
+
+class TwoStepTrainer:
+    def __init__(
+        self,
+        model: FemModel,
+        cfg: ProblemConfig = ProblemConfig(),
+        tcfg: TrainConfig = TrainConfig(),
+        *,
+        factor_dtype=None,
+        refine_iters: int = 0,
+        mesh=None,
+        dtype=jnp.float64,
+        results_path: Optional[str] = None,
+        verbose: bool = False,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.mesh = mesh
+        self.dtype = dtype
+        self.results_path = results_path
+        self.verbose = verbose
+
+        fh = make_fh_fun(model, cfg, factor_dtype=factor_dtype, refine_iters=refine_iters)
+        self._fh = fh
+        self._batch_fh = jax.vmap(fh)
+        self.theta_net = ThetaPosteriorNet(tcfg.num_neuron, tcfg.num_layers1, cfg.theta_dim, dtype)
+        self.z_net = ZPredictiveNet(tcfg.num_neuron, tcfg.num_layers2, cfg.z_dim, dtype)
+
+    # ------------------------------------------------------------------
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        dummy = jnp.zeros((1, self.cfg.y_dim), self.dtype)
+        return self.theta_net.init(k1, dummy), self.z_net.init(k2, dummy)
+
+    # ------------------------------------------------------------------
+    def _maybe_shard(self, x):
+        if self.mesh is None:
+            return x
+        from ..parallel.mesh import shard_batch
+
+        return shard_batch(x, self.mesh)
+
+    def _opt_step1(self):
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=self.tcfg.lr, b1=0.99, b2=0.999, eps=1e-10
+        )
+
+    def _opt_step2(self):
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=self.tcfg.lr, b1=0.9, b2=0.999, eps=1e-7
+        )
+
+    def _lr_decay(self, opt_state, hist, epoch, loss_val=0.0):
+        """Reference (``:286-294``) or fixed decay-on-plateau.
+
+        Called BEFORE hist[epoch] is written (reference statement order), so
+        the reference mode reads the still-zero current slot — with positive
+        losses the decay never fires. The fixed mode uses the actual current
+        loss against the one lr_patience epochs ago.
+        """
+        t = self.tcfg
+        if not t.flg_lr_decay or epoch % t.lr_patience != 0 or epoch == 0:
+            return opt_state, False
+        if t.lr_decay_mode == "reference":
+            # hist[epoch] has NOT been written yet -> reads 0.0
+            fire = (0.0 - hist[epoch - t.lr_patience]) > 0
+        else:
+            fire = (loss_val - hist[epoch - t.lr_patience]) > 0
+        if fire:
+            opt_state.hyperparams["learning_rate"] = (
+                opt_state.hyperparams["learning_rate"] * t.decay_rate
+            )
+        return opt_state, bool(fire)
+
+    def _save_ckpt(self, subdir, epoch, loss, params):
+        if self.results_path is None:
+            return
+        d = os.path.join(self.results_path, subdir)
+        os.makedirs(d, exist_ok=True)
+        fname = os.path.join(d, f"{epoch:02d}-{loss:.8f}.msgpack")
+        with open(fname, "wb") as f:
+            f.write(serialization.to_bytes(params))
+
+    # ------------------------------------------------------------------
+    def train_step1(self, y_data, e_data, key, num_epochs=None):
+        """Fit q(theta|y). Returns (theta_params, loss history)."""
+        t = self.tcfg
+        num_epochs = num_epochs if num_epochs is not None else t.num_epoch1
+        y_data = jnp.asarray(y_data, self.dtype)
+        e_data = jnp.asarray(e_data, self.dtype)
+        n = y_data.shape[0]
+
+        batch_f = lambda th: self._batch_fh(th)[0]
+        loss_fn = make_loss_step1(batch_f, e_data, self.cfg.sig_e, t.pairing)
+
+        key, k_init = jax.random.split(key)
+        params = self.theta_net.init(k_init, y_data[:1])
+        opt = self._opt_step1()
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, y_batch):
+            def objective(p):
+                outputs = self.theta_net.apply(p, y_batch)
+                return loss_fn(y_batch, outputs)
+
+            loss, grads = jax.value_and_grad(objective)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        hist = np.zeros(num_epochs)
+        save_freq = max(1, num_epochs // 5)
+        loss_val = 0.0
+        for epoch in range(num_epochs):
+            tic = time.time()
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, n)
+            y_shuf = y_data[perm]
+            n_full, rem = _batches(n, t.batch_size)
+            for b in range(n_full):
+                yb = y_shuf[b * t.batch_size : (b + 1) * t.batch_size]
+                params, opt_state, loss_val = step(params, opt_state, self._maybe_shard(yb))
+            if rem:
+                yb = y_shuf[n_full * t.batch_size :]
+                params, opt_state, loss_val = step(params, opt_state, yb)
+            loss_val = float(loss_val)
+            if self.verbose:
+                print(f"[step1] epoch {epoch}: loss {loss_val:.6f} ({time.time()-tic:.2f}s)")
+            if (epoch + 1) % save_freq == 0:
+                self._save_ckpt("step1", epoch, loss_val, params)
+            opt_state, fired = self._lr_decay(opt_state, hist, epoch, loss_val)
+            hist[epoch] = loss_val
+        return params, hist
+
+    # ------------------------------------------------------------------
+    def bridge(self, y_data, e_data, theta_params, key, chunk: int = 4096):
+        """Posterior-sample sweep -> cached log-z moments (``:310-328``)."""
+        y_data = jnp.asarray(y_data, self.dtype)
+        e_data = jnp.asarray(e_data, self.dtype)
+        n, ne = y_data.shape[0], e_data.shape[0]
+        theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y_data)
+        theta_std = jnp.sqrt(theta_sig)
+        theta_sam = e_data[None, :, :] * theta_std[:, None, :] + theta_mean[:, None, :]
+        theta_sam = theta_sam.reshape(-1, theta_sam.shape[-1])  # (n*ne, d)
+
+        batch_fh = jax.jit(self._batch_fh)
+        hs = []
+        for i in range(0, theta_sam.shape[0], chunk):
+            _, h_i = batch_fh(theta_sam[i : i + chunk])
+            hs.append(h_i)
+        h_sam = jnp.concatenate(hs).reshape(n, ne, -1)
+
+        # reference draws ONE (ne, d_z) noise matrix shared by every y
+        eta = jnp.sqrt(self.cfg.sig_eta) * jax.random.normal(
+            key, (ne, h_sam.shape[-1]), self.dtype
+        )
+        z_sam = h_sam + eta[None, :, :]
+        logz = jnp.log(z_sam)
+        return np.asarray(jnp.mean(logz, axis=1)), np.asarray(jnp.var(logz, axis=1))
+
+    # ------------------------------------------------------------------
+    def train_step2(
+        self, y_data, e_data, theta_params, logz_mean_post, logz_sig_post, key, num_epochs=None
+    ):
+        """Fit p(z|y) with theta-net frozen. Returns (z_params, history)."""
+        t = self.tcfg
+        num_epochs = num_epochs if num_epochs is not None else t.num_epoch2
+        y_data = jnp.asarray(y_data, self.dtype)
+        e_data = jnp.asarray(e_data, self.dtype)
+        logz_mean_post = jnp.asarray(logz_mean_post, self.dtype)
+        logz_sig_post = jnp.asarray(logz_sig_post, self.dtype)
+        n = y_data.shape[0]
+
+        batch_h = lambda th: self._batch_fh(th)[1]
+        loss_fn = make_loss_step2(batch_h, e_data, self.cfg.sig_eta, t.alpha, t.pairing)
+
+        key, k_init = jax.random.split(key)
+        z_params = self.z_net.init(k_init, y_data[:1])
+        opt = self._opt_step2()
+        opt_state = opt.init(z_params)
+
+        @jax.jit
+        def step(z_params, opt_state, y_b, lm_b, ls_b):
+            # theta-net frozen: apply under stop_gradient semantics by not
+            # differentiating w.r.t. theta_params at all
+            theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y_b)
+
+            def objective(zp):
+                z_mean, z_sig, log_z_sig = self.z_net.apply(zp, y_b)
+                outputs = (theta_mean, theta_sig, z_mean, z_sig, log_z_sig)
+                return loss_fn((y_b, lm_b, ls_b), outputs)
+
+            loss, grads = jax.value_and_grad(objective)(z_params)
+            updates, opt_state = opt.update(grads, opt_state, z_params)
+            z_params = optax.apply_updates(z_params, updates)
+            return z_params, opt_state, loss
+
+        hist = np.zeros(num_epochs)
+        save_freq = max(1, num_epochs // 5)
+        loss_val = 0.0
+        for epoch in range(num_epochs):
+            tic = time.time()
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, n)
+            y_s, lm_s, ls_s = y_data[perm], logz_mean_post[perm], logz_sig_post[perm]
+            n_full, rem = _batches(n, t.batch_size)
+            for b in range(n_full):
+                sl = slice(b * t.batch_size, (b + 1) * t.batch_size)
+                z_params, opt_state, loss_val = step(
+                    z_params, opt_state,
+                    self._maybe_shard(y_s[sl]),
+                    self._maybe_shard(lm_s[sl]),
+                    self._maybe_shard(ls_s[sl]),
+                )
+            if rem:
+                sl = slice(n_full * t.batch_size, n)
+                z_params, opt_state, loss_val = step(z_params, opt_state, y_s[sl], lm_s[sl], ls_s[sl])
+            loss_val = float(loss_val)
+            if self.verbose:
+                print(f"[step2] epoch {epoch}: loss {loss_val:.3e} ({time.time()-tic:.2f}s)")
+            if (epoch + 1) % save_freq == 0:
+                self._save_ckpt("step2", epoch, loss_val, z_params)
+            opt_state, fired = self._lr_decay(opt_state, hist, epoch, loss_val)
+            hist[epoch] = loss_val
+        if self.results_path is not None:
+            self._save_ckpt("step2", num_epochs - 1, loss_val, z_params)
+        return z_params, hist
+
+    # ------------------------------------------------------------------
+    def fit(self, y_data, e_data, key, *, epochs1=None, epochs2=None) -> TrainResult:
+        k1, k2, k3 = jax.random.split(key, 3)
+        theta_params, hist1 = self.train_step1(y_data, e_data, k1, epochs1)
+        lm_post, ls_post = self.bridge(y_data, e_data, theta_params, k2)
+        z_params, hist2 = self.train_step2(
+            y_data, e_data, theta_params, lm_post, ls_post, k3, epochs2
+        )
+        return TrainResult(
+            theta_params=theta_params,
+            z_params=z_params,
+            hist_step1=hist1,
+            hist_step2=hist2,
+            logz_mean_post=lm_post,
+            logz_sig_post=ls_post,
+        )
+
+    # ------------------------------------------------------------------
+    def predict(self, theta_params, z_params, y):
+        """Full model outputs like the reference's ``final_model_test``
+        (theta_mean, theta_sig, z_mean, z_sig)."""
+        y = jnp.asarray(y, self.dtype)
+        theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y)
+        z_mean, z_sig, _ = self.z_net.apply(z_params, y)
+        return theta_mean, theta_sig, z_mean, z_sig
