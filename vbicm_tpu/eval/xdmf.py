@@ -1,0 +1,51 @@
+"""XDMF/HDF5 export of deformed configurations.
+
+Equivalent of ``xdmf_h5data_save`` / ``create_xdmf_file``
+(``src/fem_postprocess.py:90-161``): connectivity + per-step deformed
+coordinates into HDF5, with an XDMF XML index for ParaView.
+"""
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+
+def write_xdmf(path_h5: str, model, displacements: Sequence[np.ndarray], *, mag: float = 1.0):
+    """Write topology + deformed coordinates per step; emits `<path>.xdmf`."""
+    import h5py
+
+    coords = np.asarray(model.coords)
+    conn = np.asarray(model.conn)
+    nnodes, nele = coords.shape[0], conn.shape[0]
+    with h5py.File(path_h5, "w") as f:
+        f["topology"] = conn.astype(np.int32)
+        for i, u in enumerate(displacements):
+            disp = np.asarray(u).reshape(-1, 2)
+            f[f"step{i}"] = coords + mag * disp
+
+    steps = "\n".join(
+        f"""    <Grid Name="step{i}" GridType="Uniform">
+      <Time Value="{i}"/>
+      <Topology TopologyType="Quadrilateral" NumberOfElements="{nele}">
+        <DataItem Dimensions="{nele} 4" Format="HDF">{os.path.basename(path_h5)}:/topology</DataItem>
+      </Topology>
+      <Geometry GeometryType="XY">
+        <DataItem Dimensions="{nnodes} 2" Format="HDF">{os.path.basename(path_h5)}:/step{i}</DataItem>
+      </Geometry>
+    </Grid>"""
+        for i in range(len(displacements))
+    )
+    xml = f"""<?xml version="1.0" ?>
+<!DOCTYPE Xdmf SYSTEM "Xdmf.dtd" []>
+<Xdmf Version="3.0">
+  <Domain>
+    <Grid Name="mesh" GridType="Collection" CollectionType="Temporal">
+{steps}
+    </Grid>
+  </Domain>
+</Xdmf>
+"""
+    with open(os.path.splitext(path_h5)[0] + ".xdmf", "w") as f:
+        f.write(xml)

@@ -43,7 +43,9 @@ from .assembly import element_matvec
 # ---------------------------------------------------------------------------
 
 
-def make_dense_affine_solver(parts, *, factor_dtype=None, refine_iters: int = 0):
+def make_dense_affine_solver(
+    parts, *, factor_dtype=None, refine_iters: int = 0, method: str = "auto"
+):
     """Build a differentiable solver for ``(sum_p c_p parts_p) u = f``.
 
     parts: (P, n, n) symmetric positive-definite basis (free-free blocks),
@@ -51,15 +53,30 @@ def make_dense_affine_solver(parts, *, factor_dtype=None, refine_iters: int = 0)
     with the adjoint custom VJP. ``factor_dtype=jnp.float32`` +
     ``refine_iters>=2`` is the TPU mixed-precision mode.
 
+    method:
+      * "cholesky" — factor once, every apply is a cho_solve (two triangular
+        solves). Best on CPU, where trsv is fast.
+      * "inverse"  — factor once, then form K^-1 explicitly with ONE
+        n-RHS triangular solve pair (blocked trsm -> MXU-friendly); every
+        subsequent apply (forward, refinement, adjoint) is a plain matvec.
+        A training step needs ~6 applies per factorization (forward +
+        refinements + adjoint), and single-RHS triangular solves are
+        sequential-bound on TPU, so trading one trsm for all of them wins.
+      * "auto"     — "inverse" when factor_dtype is set (TPU mixed mode),
+        else "cholesky".
+
     Memory/perf design for the batched (vmapped) case: the per-sample matrix
     is built DIRECTLY in the factor dtype (K32 = sum c_p parts32_p), so no
     (B, n, n) float64 tensor ever exists on device; iterative-refinement
     residuals are computed matrix-free through the shared affine parts
     (``r = f - sum_p c_p (P_p @ x)``, two (n,n)@(n,) matvecs against
-    replicated constants). Per-sample device footprint is one f32 factor.
+    replicated constants). Per-sample device footprint is one f32 factor
+    (or inverse).
     """
     parts = jnp.asarray(parts)
     parts_f = parts if factor_dtype is None else parts.astype(factor_dtype)
+    if method == "auto":
+        method = "inverse" if factor_dtype is not None else "cholesky"
 
     def _affine_matvec(coeffs, x):
         """sum_p c_p (parts_p @ x) in the precision of x."""
@@ -68,14 +85,23 @@ def make_dense_affine_solver(parts, *, factor_dtype=None, refine_iters: int = 0)
 
     def _factor(coeffs):
         Kf = jnp.tensordot(coeffs.astype(parts_f.dtype), parts_f, axes=1)
-        return cho_factor(Kf, lower=True)
+        cfac = cho_factor(Kf, lower=True)
+        if method == "inverse":
+            eye = jnp.eye(Kf.shape[-1], dtype=Kf.dtype)
+            return cho_solve(cfac, eye)  # K^-1, built by one blocked trsm pair
+        return cfac
 
-    def _solve_refined(cfac, coeffs, b):
-        fdt = cfac[0].dtype
-        x = cho_solve(cfac, b.astype(fdt)).astype(b.dtype)
+    def _apply(op, b):
+        if method == "inverse":
+            return op @ b
+        return cho_solve(op, b)
+
+    def _solve_refined(op, coeffs, b):
+        fdt = op.dtype if method == "inverse" else op[0].dtype
+        x = _apply(op, b.astype(fdt)).astype(b.dtype)
         for _ in range(refine_iters):
             r = b - _affine_matvec(coeffs, x)
-            x = x + cho_solve(cfac, r.astype(fdt)).astype(b.dtype)
+            x = x + _apply(op, r.astype(fdt)).astype(b.dtype)
         return x
 
     @jax.custom_vjp
@@ -84,14 +110,87 @@ def make_dense_affine_solver(parts, *, factor_dtype=None, refine_iters: int = 0)
         return u
 
     def _fwd(coeffs, f):
-        cfac = _factor(coeffs)
-        u = _solve_refined(cfac, coeffs, f)
-        return u, (coeffs, u, cfac)
+        op = _factor(coeffs)
+        u = _solve_refined(op, coeffs, f)
+        return u, (coeffs, u, op)
 
     def _bwd(res, ubar):
-        coeffs, u, cfac = res
-        w = _solve_refined(cfac, coeffs, ubar)
+        coeffs, u, op = res
+        w = _solve_refined(op, coeffs, ubar)
         pu = jnp.einsum("pij,j->pi", parts, u)  # (P, n)
+        cbar = -(pu @ w)
+        return cbar.astype(coeffs.dtype), w
+
+    solve.defvjp(_fwd, _bwd)
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# Spectral solver for 2-term affine pencils (the TPU speed-of-light path)
+# ---------------------------------------------------------------------------
+
+
+def make_spectral_affine_solver(parts, *, apply_dtype=None, refine_iters: int = 0):
+    """Differentiable solver for ``(c0*A + c1*B) u = f`` via one-time pencil
+    diagonalization — the fastest possible batched path on TPU.
+
+    With B symmetric positive definite (here: the mu-part of the stiffness)
+    and A symmetric PSD, solve the generalized eigenproblem ``A V = B V
+    diag(g)`` once on the host in float64, normalizing ``V^T B V = I``. Then
+    for EVERY coefficient pair,
+
+        K(c)^{-1} b  =  V diag(1 / (c0*g + c1)) V^T b
+
+    — two dense matmuls and a diagonal scale. Per-sample cost drops from
+    O(n^3) (Cholesky: measured 27 ms for a 256x440 batch on v5e) to O(n^2)
+    of pure MXU work; no per-sample factorization exists at all.
+
+    ``apply_dtype=float32`` runs the matmuls on the MXU at f32;
+    ``refine_iters`` polishes to f64 through the shared affine parts
+    (the spectral apply is its own preconditioner). Exact for any c with
+    ``c0*g + c1 > 0``; the generic-P Cholesky path remains the fallback.
+    """
+    import numpy as np
+    import scipy.linalg
+
+    parts_np = np.asarray(parts)
+    if parts_np.shape[0] != 2:
+        raise ValueError("spectral solver requires exactly 2 affine parts")
+    # A = parts[0] (lam-part, PSD), B = parts[1] (mu-part, SPD)
+    g, V = scipy.linalg.eigh(parts_np[0], parts_np[1])
+    g_j = jnp.asarray(g)
+    V64 = jnp.asarray(V)
+    Va = V64 if apply_dtype is None else V64.astype(apply_dtype)
+    parts = jnp.asarray(parts)
+
+    def _affine_matvec(coeffs, x):
+        px = jnp.einsum("pij,j->pi", parts, x)
+        return coeffs.astype(x.dtype) @ px
+
+    def _apply(coeffs, b):
+        bt = Va.T @ b.astype(Va.dtype)
+        d = (coeffs[0] * g_j + coeffs[1]).astype(Va.dtype)
+        return (Va @ (bt / d)).astype(b.dtype)
+
+    def _solve_refined(coeffs, b):
+        x = _apply(coeffs, b)
+        for _ in range(refine_iters):
+            r = b - _affine_matvec(coeffs, x)
+            x = x + _apply(coeffs, r)
+        return x
+
+    @jax.custom_vjp
+    def solve(coeffs, f):
+        return _solve_refined(coeffs, f)
+
+    def _fwd(coeffs, f):
+        u = _solve_refined(coeffs, f)
+        return u, (coeffs, u)
+
+    def _bwd(res, ubar):
+        coeffs, u = res
+        w = _solve_refined(coeffs, ubar)
+        pu = jnp.einsum("pij,j->pi", parts, u)
         cbar = -(pu @ w)
         return cbar.astype(coeffs.dtype), w
 

@@ -25,7 +25,11 @@ from flax import struct
 from .config import MaterialCard, ProblemConfig
 from .model import FemModel
 from .ops.element import lame_from_Ev, stress6_plane_strain
-from .ops.solve import make_dense_affine_solver, make_matfree_affine_solver
+from .ops.solve import (
+    make_dense_affine_solver,
+    make_matfree_affine_solver,
+    make_spectral_affine_solver,
+)
 from .ops.vonmises import von_mises_reference
 
 
@@ -47,6 +51,7 @@ class FemSolution:
 def make_solver(
     model: FemModel,
     *,
+    method: str = "spectral",
     factor_dtype=None,
     refine_iters: int = 0,
     cg_tol: float = 1e-12,
@@ -54,14 +59,24 @@ def make_solver(
 ) -> Callable:
     """Build ``solve_free(lam, mu) -> u (ndof,)`` for this model.
 
-    Dense models: affine Cholesky with adjoint VJP (optionally mixed
-    precision). Matrix-free models: Jacobi-PCG on the element operator.
+    Dense models, method:
+      * "spectral" (default) — one-time (K_lam, K_mu) pencil diagonalization;
+        every solve is two MXU matmuls + a diagonal scale (see
+        ``ops.solve.make_spectral_affine_solver``). ``factor_dtype`` selects
+        the matmul precision of the apply.
+      * "cholesky"/"inverse" — per-sample factorization paths.
+    Matrix-free models: Jacobi-PCG on the element operator.
     """
     if model.dense:
         parts = jnp.stack([model.k_lam_ff, model.k_mu_ff])
-        base = make_dense_affine_solver(
-            parts, factor_dtype=factor_dtype, refine_iters=refine_iters
-        )
+        if method == "spectral":
+            base = make_spectral_affine_solver(
+                parts, apply_dtype=factor_dtype, refine_iters=refine_iters
+            )
+        else:
+            base = make_dense_affine_solver(
+                parts, factor_dtype=factor_dtype, refine_iters=refine_iters, method=method
+            )
         free_dof = model.free_dof
         ndof = model.ndof
         f_free = model.f_free
@@ -147,6 +162,7 @@ def make_fh_fun(
     model: FemModel,
     cfg: ProblemConfig = ProblemConfig(),
     *,
+    method: str = "spectral",
     factor_dtype=None,
     refine_iters: int = 0,
 ) -> Callable:
@@ -159,7 +175,9 @@ def make_fh_fun(
     y = (ux, uy) at ``cfg.node_id``; h = reference von Mises at
     ``cfg.ele_id``, qpts ``cfg.nipt_id``. Batch with ``jax.vmap(fh)``.
     """
-    solve_free = make_solver(model, factor_dtype=factor_dtype, refine_iters=refine_iters)
+    solve_free = make_solver(
+        model, method=method, factor_dtype=factor_dtype, refine_iters=refine_iters
+    )
     tm = jnp.asarray(cfg.theta_map.theta_mean, model.dtype)
     ts = jnp.asarray(cfg.theta_map.theta_std, model.dtype)
     obs_dofs = jnp.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])
