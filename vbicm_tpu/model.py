@@ -107,6 +107,12 @@ def _load_vector(mesh: MeshData, ndof: int):
     return f
 
 
+try:  # optional C++ fast path (native/geometry.cpp); NumPy fallback below
+    from . import _native
+except ImportError:  # pragma: no cover
+    _native = None
+
+
 def _element_geometry(coords, conn, qpts, qwts, thk):
     """Host-side (NumPy) B-matrix / dvol precompute for all (elem, qpt)."""
     nele = conn.shape[0]
@@ -166,11 +172,19 @@ def build_fem_model(
     f_ext = _load_vector(mesh, ndof)
 
     qpts, qwts = quadrature.quadr2d(section.intp, 4)
-    B, dvol = _element_geometry(mesh.coords, mesh.conn, qpts, qwts, section.thk)
-
-    # affine element stiffness parts: ke_p = sum_q dvol_q B^T C_p B
-    ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C_LAM3, B, dvol, optimize=True)
-    ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C_MU3, B, dvol, optimize=True)
+    if _native is not None:
+        B, dvol, ke_lam, ke_mu = _native.precompute_quad4(
+            np.ascontiguousarray(mesh.coords),
+            np.ascontiguousarray(mesh.conn, dtype=np.int32),
+            np.ascontiguousarray(qpts),
+            np.ascontiguousarray(qwts),
+            float(section.thk),
+        )
+    else:
+        B, dvol = _element_geometry(mesh.coords, mesh.conn, qpts, qwts, section.thk)
+        # affine element stiffness parts: ke_p = sum_q dvol_q B^T C_p B
+        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C_LAM3, B, dvol, optimize=True)
+        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C_MU3, B, dvol, optimize=True)
 
     nfree = free_dof.shape[0]
     if dense is None:

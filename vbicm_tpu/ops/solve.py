@@ -158,40 +158,47 @@ def make_spectral_affine_solver(parts, *, apply_dtype=None, refine_iters: int = 
         raise ValueError("spectral solver requires exactly 2 affine parts")
     # A = parts[0] (lam-part, PSD), B = parts[1] (mu-part, SPD)
     g, V = scipy.linalg.eigh(parts_np[0], parts_np[1])
-    g_j = jnp.asarray(g)
+    g64 = jnp.asarray(g)
     V64 = jnp.asarray(V)
     Va = V64 if apply_dtype is None else V64.astype(apply_dtype)
+    ga = g64.astype(Va.dtype)
     parts = jnp.asarray(parts)
 
     def _affine_matvec(coeffs, x):
         px = jnp.einsum("pij,j->pi", parts, x)
         return coeffs.astype(x.dtype) @ px
 
-    def _apply(coeffs, b):
-        bt = Va.T @ b.astype(Va.dtype)
-        d = (coeffs[0] * g_j + coeffs[1]).astype(Va.dtype)
-        return (Va @ (bt / d)).astype(b.dtype)
-
-    def _solve_refined(coeffs, b):
-        x = _apply(coeffs, b)
-        for _ in range(refine_iters):
-            r = b - _affine_matvec(coeffs, x)
-            x = x + _apply(coeffs, r)
-        return x
+    def _coords_and_apply(coeffs, b):
+        """Returns (x, a) with x = K^-1 b and a = its eigen-coordinates."""
+        d = (coeffs[0].astype(Va.dtype) * ga + coeffs[1].astype(Va.dtype))
+        a = (Va.T @ b.astype(Va.dtype)) / d
+        x = (Va @ a).astype(b.dtype)
+        if refine_iters:
+            for _ in range(refine_iters):
+                r = b - _affine_matvec(coeffs, x)
+                da = (Va.T @ r.astype(Va.dtype)) / d
+                a = a + da
+                x = x + (Va @ da).astype(b.dtype)
+        return x, a
 
     @jax.custom_vjp
     def solve(coeffs, f):
-        return _solve_refined(coeffs, f)
+        x, _ = _coords_and_apply(coeffs, f)
+        return x
 
     def _fwd(coeffs, f):
-        u = _solve_refined(coeffs, f)
-        return u, (coeffs, u)
+        x, a = _coords_and_apply(coeffs, f)
+        return x, (coeffs, a)
 
     def _bwd(res, ubar):
-        coeffs, u = res
-        w = _solve_refined(coeffs, ubar)
-        pu = jnp.einsum("pij,j->pi", parts, u)
-        cbar = -(pu @ w)
+        coeffs, a = res
+        w, b = _coords_and_apply(coeffs, ubar)
+        # In eigen-coordinates (V^T A V = diag(g), V^T B V = I):
+        #   w^T A u = sum_i g_i a_i b_i,   w^T B u = sum_i a_i b_i
+        # — the coefficient cotangents are O(n) diagonal contractions, no
+        # full-space P_p matvec needed.
+        ab = a * b
+        cbar = -jnp.stack([jnp.sum(ga * ab), jnp.sum(ab)])
         return cbar.astype(coeffs.dtype), w
 
     solve.defvjp(_fwd, _bwd)

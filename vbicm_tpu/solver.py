@@ -165,6 +165,8 @@ def make_fh_fun(
     method: str = "spectral",
     factor_dtype=None,
     refine_iters: int = 0,
+    cg_tol: float = 1e-12,
+    cg_maxiter: int = 4000,
 ) -> Callable:
     """Build the observation operator ``fh(theta) -> (y, h)``.
 
@@ -176,7 +178,12 @@ def make_fh_fun(
     ``cfg.ele_id``, qpts ``cfg.nipt_id``. Batch with ``jax.vmap(fh)``.
     """
     solve_free = make_solver(
-        model, method=method, factor_dtype=factor_dtype, refine_iters=refine_iters
+        model,
+        method=method,
+        factor_dtype=factor_dtype,
+        refine_iters=refine_iters,
+        cg_tol=cg_tol,
+        cg_maxiter=cg_maxiter,
     )
     tm = jnp.asarray(cfg.theta_map.theta_mean, model.dtype)
     ts = jnp.asarray(cfg.theta_map.theta_std, model.dtype)

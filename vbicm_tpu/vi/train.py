@@ -135,7 +135,12 @@ class TwoStepTrainer:
             )
         return opt_state, bool(fire)
 
-    def _save_ckpt(self, subdir, epoch, loss, params):
+    def _save_ckpt(self, subdir, epoch, loss, params, opt_state=None, hist=None):
+        """Periodic checkpoint: params in the reference's ``{epoch:02d}-
+        {loss:.8f}`` naming (``main_custom_training.py:282-283``), plus a
+        ``latest`` full-state bundle (params + optimizer state + epoch +
+        loss history) for exact resume — which the reference cannot do (it
+        saves model weights only)."""
         if self.results_path is None:
             return
         d = os.path.join(self.results_path, subdir)
@@ -143,10 +148,39 @@ class TwoStepTrainer:
         fname = os.path.join(d, f"{epoch:02d}-{loss:.8f}.msgpack")
         with open(fname, "wb") as f:
             f.write(serialization.to_bytes(params))
+        if opt_state is not None:
+            state = {
+                "params": params,
+                "opt_state": opt_state,
+                "epoch": epoch,
+                "hist": np.asarray(hist) if hist is not None else np.zeros(0),
+            }
+            with open(os.path.join(d, "latest.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(state))
+
+    def load_ckpt(self, subdir, template_params, template_opt_state):
+        """Restore a ``latest`` full-state bundle; returns (params,
+        opt_state, start_epoch, hist) or None if absent."""
+        path = os.path.join(self.results_path or "", subdir, "latest.msgpack")
+        if self.results_path is None or not os.path.exists(path):
+            return None
+        template = {
+            "params": template_params,
+            "opt_state": template_opt_state,
+            "epoch": 0,
+            "hist": np.zeros(0),
+        }
+        with open(path, "rb") as f:
+            state = serialization.from_bytes(template, f.read())
+        return state["params"], state["opt_state"], int(state["epoch"]) + 1, state["hist"]
 
     # ------------------------------------------------------------------
-    def train_step1(self, y_data, e_data, key, num_epochs=None):
-        """Fit q(theta|y). Returns (theta_params, loss history)."""
+    def train_step1(self, y_data, e_data, key, num_epochs=None, resume=False):
+        """Fit q(theta|y). Returns (theta_params, loss history).
+
+        ``resume=True`` restores params/optimizer/epoch from the latest
+        full-state checkpoint under ``results_path/step1`` if present.
+        """
         t = self.tcfg
         num_epochs = num_epochs if num_epochs is not None else t.num_epoch1
         y_data = jnp.asarray(y_data, self.dtype)
@@ -160,6 +194,13 @@ class TwoStepTrainer:
         params = self.theta_net.init(k_init, y_data[:1])
         opt = self._opt_step1()
         opt_state = opt.init(params)
+        start_epoch = 0
+        hist = np.zeros(num_epochs)
+        if resume:
+            restored = self.load_ckpt("step1", params, opt_state)
+            if restored is not None:
+                params, opt_state, start_epoch, old_hist = restored
+                hist[: min(len(old_hist), num_epochs)] = old_hist[:num_epochs]
 
         @jax.jit
         def step(params, opt_state, y_batch):
@@ -172,10 +213,9 @@ class TwoStepTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        hist = np.zeros(num_epochs)
         save_freq = max(1, num_epochs // 5)
         loss_val = 0.0
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             tic = time.time()
             key, k_perm = jax.random.split(key)
             perm = jax.random.permutation(k_perm, n)
@@ -191,7 +231,7 @@ class TwoStepTrainer:
             if self.verbose:
                 print(f"[step1] epoch {epoch}: loss {loss_val:.6f} ({time.time()-tic:.2f}s)")
             if (epoch + 1) % save_freq == 0:
-                self._save_ckpt("step1", epoch, loss_val, params)
+                self._save_ckpt("step1", epoch, loss_val, params, opt_state, hist)
             opt_state, fired = self._lr_decay(opt_state, hist, epoch, loss_val)
             hist[epoch] = loss_val
         return params, hist
@@ -283,7 +323,7 @@ class TwoStepTrainer:
             if self.verbose:
                 print(f"[step2] epoch {epoch}: loss {loss_val:.3e} ({time.time()-tic:.2f}s)")
             if (epoch + 1) % save_freq == 0:
-                self._save_ckpt("step2", epoch, loss_val, z_params)
+                self._save_ckpt("step2", epoch, loss_val, z_params, opt_state, hist)
             opt_state, fired = self._lr_decay(opt_state, hist, epoch, loss_val)
             hist[epoch] = loss_val
         if self.results_path is not None:
