@@ -142,3 +142,53 @@ def test_mixed_precision_refinement(cooks_model):
     )
     rel = np.linalg.norm(np.asarray(u_mixed - u64)) / np.linalg.norm(np.asarray(u64))
     assert rel < 1e-10, rel
+
+
+def test_plane_stress_end_to_end(cooks_mesh):
+    """stype=1 full path vs an independent scipy oracle with the textbook
+    plane-stress constitutive matrix."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from vbicm_tpu.config import SectionCard
+    from vbicm_tpu.ops import quadrature
+    from vbicm_tpu.ops.shape import quad4_shape
+    from vbicm_tpu.ops.element import bmatrix
+
+    E, v = 20.0, 0.3
+    model = build_fem_model(cooks_mesh, SectionCard(stype=1))
+    sol = fea_solution(model, MaterialCard(E=E, v=v))
+
+    # oracle: assemble with C_ps directly
+    C = E / (1 - v**2) * np.array([[1, v, 0], [v, 1, 0], [0, 0, (1 - v) / 2]])
+    qp, qw = quadrature.int2d(2)
+    coords = np.asarray(model.coords)
+    conn = np.asarray(model.conn)
+    lm = np.asarray(model.lm)
+    ndof = model.ndof
+    K = np.zeros((ndof, ndof))
+    for e in range(conn.shape[0]):
+        xl = jnp.asarray(coords[conn[e]])
+        ke = np.zeros((8, 8))
+        for q in range(4):
+            n, dn, detj = quad4_shape(qp[q, 0], qp[q, 1], xl)
+            B = np.asarray(bmatrix(dn))
+            ke += 10.0 * float(detj) * qw[q] * (B.T @ C @ B)
+        K[np.ix_(lm[e], lm[e])] += ke
+    free = np.asarray(model.free_dof)
+    f = np.zeros(ndof)
+    u_or = np.zeros(ndof)
+    u_or[free] = np.linalg.solve(K[np.ix_(free, free)], np.asarray(model.f_free))
+
+    np.testing.assert_allclose(np.asarray(sol.u), u_or, atol=1e-8)
+    # stress: s33 must be 0, strain e33 = -v/(1-v)(e11+e22)
+    np.testing.assert_allclose(np.asarray(sol.stress[..., 2]), 0.0, atol=1e-12)
+    e33 = np.asarray(sol.strain[..., 2])
+    expected = -v / (1 - v) * (np.asarray(sol.strain[..., 0]) + np.asarray(sol.strain[..., 1]))
+    np.testing.assert_allclose(e33, expected, atol=1e-12)
+    # differentiability through the plane-stress path
+    from vbicm_tpu.solver import make_fh_fun
+
+    fh = make_fh_fun(model)
+    g = jax.grad(lambda t: jnp.sum(fh(t)[0]))(jnp.array([0.2, -0.3]))
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -176,3 +176,83 @@ def test_element_stiffness_parts_symmetry_and_nullspace():
     # positive semidefinite with exactly 3 near-zero eigenvalues
     w = np.linalg.eigvalsh(ke_np)
     assert (w[:3] < 1e-9).all() and (w[3:] > 1e-9).all()
+
+
+def test_higher_order_shape_functions():
+    """tri3/quad12/quad16: partition of unity, zero gradient sum, and
+    linear-field reproduction (completeness)."""
+    from vbicm_tpu.ops.shape import (
+        isoparametric,
+        quad12_natural,
+        quad16_natural,
+        shape_natural,
+        tri3_natural,
+    )
+
+    for nel in (3, 4, 8, 9, 12, 16):
+        fn = shape_natural(nel)
+        n, dn = fn(0.37, -0.52)
+        assert n.shape == (nel,)
+        np.testing.assert_allclose(float(jnp.sum(n)), 1.0, atol=1e-12, err_msg=str(nel))
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(dn, axis=0)), 0.0, atol=1e-12, err_msg=str(nel)
+        )
+
+    # quad16 nodal (Kronecker delta) property
+    nodes1d = [-1.0, -1.0 / 3.0, 1.0 / 3.0, 1.0]
+    from vbicm_tpu.ops.shape import _Q16_IJ
+
+    for k, (i, j) in enumerate(_Q16_IJ):
+        n, _ = quad16_natural(nodes1d[i], nodes1d[j])
+        expected = np.zeros(16)
+        expected[k] = 1.0
+        np.testing.assert_allclose(np.asarray(n), expected, atol=1e-12)
+
+    # quad12 nodal property at its corner and edge nodes
+    pts = [(-1, -1), (1, -1), (1, 1), (-1, 1),
+           (-1/3, -1), (1/3, -1), (1, -1/3), (1, 1/3),
+           (1/3, 1), (-1/3, 1), (-1, 1/3), (-1, -1/3)]
+    for k, (x, y) in enumerate(pts):
+        n, _ = quad12_natural(float(x), float(y))
+        expected = np.zeros(12)
+        expected[k] = 1.0
+        np.testing.assert_allclose(np.asarray(n), expected, atol=1e-12)
+
+
+def test_c6_and_condensation():
+    from vbicm_tpu.ops.element import (
+        elasticity_C6,
+        plane_stress_C3,
+        plane_stress_condensation,
+    )
+
+    E, v = 20.0, 0.3
+    C6 = elasticity_C6(E, v)
+    # block structure: lam+2mu diagonal, lam off-diagonal, mu shears
+    lam, mu = lame_from_Ev(E, v)
+    np.testing.assert_allclose(float(C6[0, 0]), lam + 2 * mu, atol=1e-12)
+    np.testing.assert_allclose(float(C6[0, 1]), lam, atol=1e-12)
+    np.testing.assert_allclose(float(C6[3, 3]), mu, atol=1e-12)
+    # condensing e33 out of C6 reproduces the plane-stress matrix
+    np.testing.assert_allclose(
+        np.asarray(plane_stress_condensation(C6)),
+        np.asarray(plane_stress_C3(E, v)),
+        atol=1e-10,
+    )
+
+
+def test_axisymmetric_bmatrix():
+    from vbicm_tpu.ops.element import bmatrix_axisym
+    from vbicm_tpu.ops.shape import quad4_shape
+
+    xl = jnp.array([[1.0, 0.0], [2.0, 0.0], [2.0, 1.0], [1.0, 1.0]])
+    n, dn, detj = quad4_shape(0.1, -0.2, xl)
+    r = float(n @ xl[:, 0])
+    B = bmatrix_axisym(dn, n, r)
+    assert B.shape == (4, 8)
+    # hoop strain of pure radial rigid translation u_r = 1: e_hoop = 1/r
+    u = np.zeros(8)
+    u[0::2] = 1.0
+    eps = np.asarray(B) @ u
+    np.testing.assert_allclose(eps[2], 1.0 / r, atol=1e-12)
+    np.testing.assert_allclose(eps[[0, 1, 3]], 0.0, atol=1e-12)

@@ -1,0 +1,54 @@
+"""Pallas kernel tests (interpret mode on CPU; real-hardware path exercised
+by bench.py --pallas on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vbicm_tpu.ops.spectral_pallas import (
+    spectral_apply_batched,
+    spectral_apply_reference,
+)
+
+
+def _problem(B=20, n=200, seed=0):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    g = np.abs(rng.normal(size=n)) + 0.1
+    coeffs = np.abs(rng.normal(size=(B, 2))) + 1.0
+    b = rng.normal(size=(B, n))
+    return (
+        jnp.asarray(Q, jnp.float32),
+        jnp.asarray(g, jnp.float32),
+        jnp.asarray(coeffs, jnp.float32),
+        jnp.asarray(b, jnp.float32),
+    )
+
+
+def test_kernel_matches_reference_interpret():
+    V, g, c, b = _problem()
+    out_k = spectral_apply_batched(V, g, c, b, interpret=True)
+    out_r = spectral_apply_reference(V, g, c, b)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r), atol=2e-5)
+
+
+def test_kernel_padding_cases():
+    # n and B already aligned, and unaligned, both must work
+    for B, n in [(128, 256), (5, 440), (130, 130)]:
+        V, g, c, b = _problem(B, n, seed=B + n)
+        out_k = spectral_apply_batched(V, g, c, b, interpret=True)
+        out_r = spectral_apply_reference(V, g, c, b)
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_r), atol=3e-5, err_msg=f"B={B} n={n}"
+        )
+
+
+def test_kernel_is_a_solve():
+    """The apply really inverts K = c0 * V diag(g) V^T-ish pencil when V is
+    orthonormal (A = V g V^T, B = V V^T = I)."""
+    V, g, c, b = _problem(B=4, n=64, seed=3)
+    A = np.asarray(V) @ np.diag(np.asarray(g)) @ np.asarray(V).T
+    out = np.asarray(spectral_apply_batched(V, g, c, b, interpret=True))
+    for s in range(4):
+        K = float(c[s, 0]) * A + float(c[s, 1]) * np.eye(64)
+        np.testing.assert_allclose(K @ out[s], np.asarray(b)[s], atol=1e-3)

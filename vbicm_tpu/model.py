@@ -164,15 +164,19 @@ def build_fem_model(
     """
     if section.etype != 1 or mesh.max_ele_node != 4:
         raise NotImplementedError("quad4 meshes only (reference problem class)")
-    if section.stype != 2:
-        raise NotImplementedError("plane strain only for now (reference default)")
+    if section.stype not in (1, 2):
+        raise NotImplementedError(
+            "plane strain (2) and plane stress (1) supported; axisymmetric "
+            "stypes are dormant in the reference too (its stype=3 driver is "
+            "an empty stub, src/mat_subroutine.py:300-302)"
+        )
 
     lm, free_dof, supp_dof = _dof_maps(mesh)
     ndof = mesh.nnodes * 2
     f_ext = _load_vector(mesh, ndof)
 
     qpts, qwts = quadrature.quadr2d(section.intp, 4)
-    if _native is not None:
+    if _native is not None and section.stype == 2:
         B, dvol, ke_lam, ke_mu = _native.precompute_quad4(
             np.ascontiguousarray(mesh.coords),
             np.ascontiguousarray(mesh.conn, dtype=np.int32),
@@ -182,9 +186,18 @@ def build_fem_model(
         )
     else:
         B, dvol = _element_geometry(mesh.coords, mesh.conn, qpts, qwts, section.thk)
-        # affine element stiffness parts: ke_p = sum_q dvol_q B^T C_p B
-        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C_LAM3, B, dvol, optimize=True)
-        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C_MU3, B, dvol, optimize=True)
+        # affine element stiffness parts: ke_p = sum_q dvol_q B^T C_p B.
+        # For plane stress the basis is (C_PS_B, C_PS_A) with coefficients
+        # (b, a) = (v*E/(1-v^2), E/(1-v^2)); slot layout keeps part 1 SPD
+        # in both stypes (see ops.element.material_coeffs).
+        if section.stype == 2:
+            C0, C1 = C_LAM3, C_MU3
+        else:
+            from .ops.element import C_PS_A, C_PS_B
+
+            C0, C1 = C_PS_B, C_PS_A
+        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C0, B, dvol, optimize=True)
+        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C1, B, dvol, optimize=True)
 
     nfree = free_dof.shape[0]
     if dense is None:

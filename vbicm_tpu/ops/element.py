@@ -118,3 +118,92 @@ def stress6_plane_strain(eps3, lam, mu):
     t12 = mu * g12
     zero = jnp.zeros_like(s11)
     return jnp.stack([s11, s22, s33, t12, zero, zero], axis=-1)
+
+
+def elasticity_C6(E, v):
+    """Full 3-D isotropic 6x6 stiffness (reference ``isotropic_elasticity``
+    stype=4, ``src/mat_subroutine.py:303-311``), Voigt order
+    [e11, e22, e33, g12, g23, g31]."""
+    lam, mu = lame_from_Ev(E, v)
+    dt = jnp.result_type(E, 1.0)
+    cl = jnp.zeros((6, 6), dt).at[:3, :3].set(1.0)
+    cm = jnp.diag(jnp.asarray([2.0, 2.0, 2.0, 1.0, 1.0, 1.0], dt))
+    return lam * cl + mu * cm
+
+
+def bmatrix_axisym(dn_glob, n, r):
+    """Axisymmetric (no torsion) 4-row B-matrix (reference
+    ``calculate_Bm_Nm`` stype=3, ``src/mat_subroutine.py:138-151``):
+    rows [e_rr, e_zz, e_hoop = N/r, gamma_rz]; dof order interleaved.
+
+    dn_glob: (nel, 2) global gradients; n: (nel,) shape values; r: radius at
+    the quadrature point.
+    """
+    nel = dn_glob.shape[0]
+    b = jnp.zeros((4, 2 * nel), dtype=dn_glob.dtype)
+    cx = jnp.arange(nel) * 2
+    cy = cx + 1
+    b = b.at[0, cx].set(dn_glob[:, 0])
+    b = b.at[1, cy].set(dn_glob[:, 1])
+    b = b.at[2, cx].set(n / r)
+    b = b.at[3, cx].set(dn_glob[:, 1])
+    b = b.at[3, cy].set(dn_glob[:, 0])
+    return b
+
+
+def plane_stress_condensation(C6):
+    """Static condensation of the out-of-plane row/col for plane stress with
+    a general 6x6 tangent (reference ``plane_stress_Ct``,
+    ``src/mat_subroutine.py:253-272``): eliminates index 2 (e33) from the
+    [0, 1, 3] x [0, 1, 3] block. For isotropic elasticity this reproduces
+    ``plane_stress_C3`` exactly."""
+    idx = jnp.asarray([0, 1, 3])
+    Caa = C6[jnp.ix_(idx, idx)]
+    Ca3 = C6[idx, 2][:, None]
+    C3a = C6[2, idx][None, :]
+    c33 = C6[2, 2]
+    return Caa - (Ca3 @ C3a) / c33
+
+
+# Plane-stress 2-term affine basis: C_ps(E, v) = a*C_PS_A + b*C_PS_B with
+# a = E/(1-v^2), b = v*a. C_PS_A is SPD (so it can serve as the spectral
+# pencil's B-matrix), C_PS_B is the coupling part.
+C_PS_A = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 0.5]])
+C_PS_B = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, -0.5]])
+
+
+def material_coeffs(stype: int, E, v):
+    """Affine coefficients (c0, c1) for K = c0*K_p0 + c1*K_p1.
+
+    stype=2 (plane strain): (lam, mu) with parts (C_LAM3, C_MU3).
+    stype=1 (plane stress): (b, a) = (v*E/(1-v^2), E/(1-v^2)) with parts
+    (C_PS_B, C_PS_A) — part 1 is the SPD one in both cases, as the spectral
+    solver requires.
+    """
+    if stype == 2:
+        return lame_from_Ev(E, v)
+    if stype == 1:
+        a = E / (1.0 - v**2)
+        return v * a, a
+    raise NotImplementedError(f"stype {stype}")
+
+
+def stress6_plane_stress(eps3, b, a):
+    """Plane-stress 6-stress from in-plane strain with affine coeffs (b, a):
+    s11 = a*e11 + b*e22, s22 = a*e22 + b*e11, t12 = (a-b)/2*g12, s33 = 0
+    (reference ``isotropic_elasticity`` stype=1, ``src/mat_subroutine.py:283-290``).
+    """
+    e11 = eps3[..., 0]
+    e22 = eps3[..., 1]
+    g12 = eps3[..., 2]
+    s11 = a * e11 + b * e22
+    s22 = a * e22 + b * e11
+    t12 = 0.5 * (a - b) * g12
+    zero = jnp.zeros_like(s11)
+    return jnp.stack([s11, s22, zero, t12, zero, zero], axis=-1)
+
+
+def eps33_plane_stress(eps3, v):
+    """Out-of-plane strain under plane stress: e33 = -v/(1-v)*(e11+e22)
+    (reference ``isotropic_elasticity`` stype=1, ``src/mat_subroutine.py:289``)."""
+    return -v / (1.0 - v) * (eps3[..., 0] + eps3[..., 1])

@@ -110,3 +110,125 @@ def quad4_shape(xi, eta, xl):
     shp[2]=N, shp[0]=dN/dx, shp[1]=dN/dy, xsj=detJ.
     """
     return isoparametric(xl, quad4_natural(xi, eta))
+
+
+def tri3_natural(xi, eta):
+    """Degenerate 3-node triangle via the collapsed quad (reference
+    ``shp2d`` nel==3 path, ``src/fem_preprocess.py:888-890``: node 3
+    absorbs node 4)."""
+    n4, dn4 = quad4_natural(xi, eta)
+    n = jnp.stack([n4[0], n4[1], n4[2] + n4[3]])
+    dn = jnp.stack([dn4[0], dn4[1], dn4[2] + dn4[3]])
+    return n, dn
+
+
+def _lagrange_cubic_1d(x):
+    """1-D cubic Lagrange basis at nodes (-1, -1/3, 1/3, 1); returns
+    (values (4,), derivatives (4,))."""
+    nodes = jnp.asarray([-1.0, -1.0 / 3.0, 1.0 / 3.0, 1.0])
+    vals = []
+    ders = []
+    for i in range(4):
+        others = [j for j in range(4) if j != i]
+        denom = 1.0
+        for j in others:
+            denom = denom * (nodes[i] - nodes[j])
+        num = 1.0
+        for j in others:
+            num = num * (x - nodes[j])
+        vals.append(num / denom)
+        d = 0.0
+        for k in others:
+            term = 1.0
+            for j in others:
+                if j != k:
+                    term = term * (x - nodes[j])
+            d = d + term
+        ders.append(d / denom)
+    return jnp.stack(vals), jnp.stack(ders)
+
+
+# 16-node Lagrange quad node ordering: corners, then edge nodes CCW
+# (2 per edge: bottom, right, top, left), then the 4 interior nodes
+# (matches the nodal-rule layout of reference ``int2dn`` l=16,
+#  ``src/fem_preprocess.py:620-624``).
+_Q16_IJ = [
+    (0, 0), (3, 0), (3, 3), (0, 3),          # corners
+    (1, 0), (2, 0), (3, 1), (3, 2),          # bottom, right edges
+    (2, 3), (1, 3), (0, 2), (0, 1),          # top, left edges
+    (1, 1), (2, 1), (2, 2), (1, 2),          # interior
+]
+
+
+def quad16_natural(xi, eta):
+    """16-node bicubic Lagrange quad (reference ``shp2dc`` capability,
+    ``src/fem_preprocess.py:973-1033``)."""
+    lx, dlx = _lagrange_cubic_1d(xi)
+    ly, dly = _lagrange_cubic_1d(eta)
+    n = jnp.stack([lx[i] * ly[j] for i, j in _Q16_IJ])
+    dn = jnp.stack(
+        [jnp.stack([dlx[i] * ly[j], lx[i] * dly[j]]) for i, j in _Q16_IJ]
+    )
+    return n, dn
+
+
+# 12-node cubic serendipity: corners then 2 nodes per edge CCW
+_Q12_CORNER_S = [(-1, -1), (1, -1), (1, 1), (-1, 1)]
+_Q12_EDGE = [
+    # (xi_i, eta_i, which axis is the third-point axis)
+    (-1.0 / 3.0, -1.0, 0), (1.0 / 3.0, -1.0, 0),   # bottom
+    (1.0, -1.0 / 3.0, 1), (1.0, 1.0 / 3.0, 1),     # right
+    (1.0 / 3.0, 1.0, 0), (-1.0 / 3.0, 1.0, 0),     # top
+    (-1.0, 1.0 / 3.0, 1), (-1.0, -1.0 / 3.0, 1),   # left
+]
+
+
+def quad12_natural(xi, eta):
+    """12-node cubic serendipity quad (reference ``shp2ds`` capability,
+    ``src/fem_preprocess.py:1035-1120``). Standard closed forms:
+      corner:  N = (1/32)(1+xi_i xi)(1+eta_i eta)(9(xi^2+eta^2) - 10)
+      edge:    N = (9/32)(1+xi_i' ...)(1 - s^2)(1+9 s s_i) on the edge axis.
+    """
+    vals = []
+    ders = []
+    for sx, sy in _Q12_CORNER_S:
+        r2 = xi * xi + eta * eta
+        n = (1.0 + sx * xi) * (1.0 + sy * eta) * (9.0 * r2 - 10.0) / 32.0
+        dx = (sx * (1.0 + sy * eta) * (9.0 * r2 - 10.0) + (1.0 + sx * xi) * (1.0 + sy * eta) * 18.0 * xi) / 32.0
+        dy = (sy * (1.0 + sx * xi) * (9.0 * r2 - 10.0) + (1.0 + sx * xi) * (1.0 + sy * eta) * 18.0 * eta) / 32.0
+        vals.append(n)
+        ders.append(jnp.stack([dx, dy]))
+    for xi_i, eta_i, axis in _Q12_EDGE:
+        if axis == 0:  # node varies along xi; eta = +-1 edge
+            n = 9.0 / 32.0 * (1.0 + eta_i * eta) * (1.0 - xi * xi) * (1.0 + 9.0 * xi_i * xi)
+            dx = 9.0 / 32.0 * (1.0 + eta_i * eta) * (-2.0 * xi * (1.0 + 9.0 * xi_i * xi) + (1.0 - xi * xi) * 9.0 * xi_i)
+            dy = 9.0 / 32.0 * eta_i * (1.0 - xi * xi) * (1.0 + 9.0 * xi_i * xi)
+        else:  # node varies along eta; xi = +-1 edge
+            n = 9.0 / 32.0 * (1.0 + xi_i * xi) * (1.0 - eta * eta) * (1.0 + 9.0 * eta_i * eta)
+            dy = 9.0 / 32.0 * (1.0 + xi_i * xi) * (-2.0 * eta * (1.0 + 9.0 * eta_i * eta) + (1.0 - eta * eta) * 9.0 * eta_i)
+            dx = 9.0 / 32.0 * xi_i * (1.0 - eta * eta) * (1.0 + 9.0 * eta_i * eta)
+        vals.append(n)
+        ders.append(jnp.stack([dx, dy]))
+    return jnp.stack(vals), jnp.stack(ders)
+
+
+_NATURAL_BY_NEL = None
+
+
+def shape_natural(nel: int):
+    """Dispatch mirroring reference ``shp2d`` (``src/fem_preprocess.py:848-902``):
+    nel -> (N, dN_natural) function. Supported: 3, 4, 8, 9, 12, 16."""
+    global _NATURAL_BY_NEL
+    if _NATURAL_BY_NEL is None:
+        _NATURAL_BY_NEL = {
+            3: tri3_natural,
+            4: quad4_natural,
+            8: quad8_natural,
+            9: quad9_natural,
+            12: quad12_natural,
+            16: quad16_natural,
+        }
+    try:
+        return _NATURAL_BY_NEL[nel]
+    except KeyError:
+        raise ValueError(f"unsupported element node count {nel}") from None

@@ -24,7 +24,13 @@ from flax import struct
 
 from .config import MaterialCard, ProblemConfig
 from .model import FemModel
-from .ops.element import lame_from_Ev, stress6_plane_strain
+from .ops.element import (
+    eps33_plane_stress,
+    lame_from_Ev,
+    material_coeffs,
+    stress6_plane_strain,
+    stress6_plane_stress,
+)
 from .ops.solve import (
     make_dense_affine_solver,
     make_matfree_affine_solver,
@@ -102,18 +108,31 @@ def make_solver(
     return solve_free
 
 
-def recover_fields(model: FemModel, u, lam, mu) -> Tuple[jax.Array, jax.Array]:
+def _stress6(model: FemModel, eps3, c0, c1):
+    if model.stype == 2:
+        return stress6_plane_strain(eps3, c0, c1)
+    return stress6_plane_stress(eps3, c0, c1)
+
+
+def recover_fields(model: FemModel, u, c0, c1) -> Tuple[jax.Array, jax.Array]:
     """Per-(element, qpt) strain/stress 6-vectors from the displacement field.
 
-    Matches reference storage (``src/mat_subroutine.py:76-81``): plane-strain
-    strain rows [e11, e22, 0, g12, 0, 0]; stress includes s33 = lam*(e11+e22).
+    (c0, c1) are the affine material coefficients — (lam, mu) for plane
+    strain, (b, a) for plane stress (see ``ops.element.material_coeffs``).
+    Matches reference storage (``src/mat_subroutine.py:76-81``): plane strain
+    stores e33 = 0 but s33 = lam*(e11+e22); plane stress stores s33 = 0 but
+    e33 = -v/(1-v)*(e11+e22) (``src/mat_subroutine.py:51-52,289``).
     """
     ue = u[model.lm]  # (nele, 8)
     eps3 = jnp.einsum("eqai,ei->eqa", model.B, ue)  # (nele, nqpt, 3)
-    sig6 = stress6_plane_strain(eps3, lam, mu)
+    sig6 = _stress6(model, eps3, c0, c1)
     zero = jnp.zeros_like(eps3[..., 0])
+    if model.stype == 1:
+        e33 = eps33_plane_stress(eps3, c0 / c1)  # v = b/a
+    else:
+        e33 = zero
     eps6 = jnp.stack(
-        [eps3[..., 0], eps3[..., 1], zero, eps3[..., 2], zero, zero], axis=-1
+        [eps3[..., 0], eps3[..., 1], e33, eps3[..., 2], zero, zero], axis=-1
     )
     return eps6, sig6
 
@@ -125,36 +144,31 @@ def fea_solution(
     solve_free: Optional[Callable] = None,
 ) -> FemSolution:
     """Full forward analysis for a given material (reference ``fea_solution``)."""
-    lam = jnp.asarray(material.lam, model.dtype)
-    mu = jnp.asarray(material.mu, model.dtype)
+    c0, c1 = material_coeffs(model.stype, material.E, material.v)
+    c0 = jnp.asarray(c0, model.dtype)
+    c1 = jnp.asarray(c1, model.dtype)
     if solve_free is None:
         solve_free = make_solver(model)
-    u = solve_free(lam, mu)
-    eps6, sig6 = recover_fields(model, u, lam, mu)
+    u = solve_free(c0, c1)
+    eps6, sig6 = recover_fields(model, u, c0, c1)
     # support reactions = F_int on supported dofs (reference
     # ``update_nodal_data``, src/fem_solver.py:155-160)
-    fe = jnp.einsum("eqai,eq,ab,eqbj,ej->ei", model.B, model.dvol, _c3(lam, mu), model.B, u[model.lm])
+    ke = c0 * model.ke_lam + c1 * model.ke_mu
+    fe = jnp.einsum("eij,ej->ei", ke, u[model.lm])
     f_int = jnp.zeros((model.ndof,), dtype=u.dtype).at[model.lm.reshape(-1)].add(fe.reshape(-1))
     reactions = f_int * (1.0 - model.free_mask)
     return FemSolution(u=u, strain=eps6, stress=sig6, reactions=reactions)
 
 
-def _c3(lam, mu):
-    from .ops.element import C_LAM3, C_MU3
-
-    return lam * jnp.asarray(C_LAM3, jnp.result_type(lam)) + mu * jnp.asarray(
-        C_MU3, jnp.result_type(mu)
-    )
-
-
-def probe_von_mises(model: FemModel, u, lam, mu, ele_id: int, nipt_id) -> jax.Array:
+def probe_von_mises(model: FemModel, u, c0, c1, ele_id: int, nipt_id) -> jax.Array:
     """Reference-convention von Mises at 1-based element/qpt probe ids
-    (``src/fem_postprocess.py:163-170``)."""
+    (``src/fem_postprocess.py:163-170``). (c0, c1) = affine material
+    coefficients (lam, mu) for plane strain."""
     e = ele_id - 1
     q = jnp.asarray(nipt_id) - 1
     ue = u[model.lm[e]]
     eps3 = jnp.einsum("qai,i->qa", model.B[e, q], ue)
-    sig6 = stress6_plane_strain(eps3, lam, mu)
+    sig6 = _stress6(model, eps3, c0, c1)
     return von_mises_reference(sig6)
 
 
@@ -197,11 +211,11 @@ def make_fh_fun(
         theta = jnp.asarray(theta, model.dtype)
         E = jnp.exp(ts[0] * theta[0] + tm[0])
         v = 0.5 * jax.nn.sigmoid(ts[1] * theta[1] + tm[1])
-        lam, mu = lame_from_Ev(E, v)
-        u = solve_free(lam, mu)
+        c0, c1 = material_coeffs(model.stype, E, v)
+        u = solve_free(c0, c1)
         y = u[obs_dofs]
         eps3 = jnp.einsum("qai,i->qa", B_probe, u[lm_probe])
-        sig6 = stress6_plane_strain(eps3, lam, mu)
+        sig6 = _stress6(model, eps3, c0, c1)
         h = von_mises_reference(sig6)
         return y, h
 
