@@ -192,3 +192,17 @@ def test_plane_stress_end_to_end(cooks_mesh):
     fh = make_fh_fun(model)
     g = jax.grad(lambda t: jnp.sum(fh(t)[0]))(jnp.array([0.2, -0.3]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_mixed_precision_cg(cooks_mesh):
+    """f32 CG + f64 refinement matches pure-f64 CG (the TPU scaled path)."""
+    mf_model = build_fem_model(cooks_mesh, dense=False)
+    from vbicm_tpu.ops.element import lame_from_Ev
+
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    u64 = make_solver(mf_model, cg_tol=1e-13)(jnp.asarray(lam), jnp.asarray(mu))
+    u_mixed = make_solver(
+        mf_model, factor_dtype=jnp.float32, refine_iters=3, cg_tol=1e-6
+    )(jnp.asarray(lam), jnp.asarray(mu))
+    rel = np.linalg.norm(np.asarray(u_mixed - u64)) / np.linalg.norm(np.asarray(u64))
+    assert rel < 1e-9, rel

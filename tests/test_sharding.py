@@ -96,3 +96,53 @@ def test_element_sharded_solver(cooks_mesh, mesh):
     for i in range(2):
         fd = (loss(c.at[i].add(eps)) - loss(c.at[i].add(-eps))) / (2 * eps)
         np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-4)
+
+
+def test_two_level_solver_accuracy_and_grad(cooks_mesh):
+    """Two-level (spectral-coarse) preconditioned CG on a refined mesh:
+    matches the dense answer; gradient matches FD. (Small 40x20 fine mesh
+    with 20x10 coarse so the test stays fast.)"""
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.ops.element import lame_from_Ev
+    from vbicm_tpu.solver import make_solver, make_two_level_solver
+
+    fine = build_fem_model(cooks_membrane_mesh(40, 20), dense=True)
+    fine_mf = build_fem_model(cooks_membrane_mesh(40, 20), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(20, 10), dense=True)
+    solve2l = make_two_level_solver(fine_mf, coarse, 20, 10, 2, tol=1e-12, maxiter=300)
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    u2 = solve2l(jnp.asarray(lam), jnp.asarray(mu))
+    u_ref = make_solver(fine)(jnp.asarray(lam), jnp.asarray(mu))
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u_ref), atol=1e-8)
+
+    def loss(c):
+        return jnp.sum(solve2l(c[0], c[1])[-2:])
+
+    c0 = jnp.array([lam, mu])
+    g = jax.grad(loss)(c0)
+    eps = 1e-5
+    for i in range(2):
+        fd = (loss(c0.at[i].add(eps)) - loss(c0.at[i].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-4)
+
+
+def test_two_level_mixed_precision(cooks_mesh):
+    """f32 CG + two-level + refinement reaches f64 accuracy in few outers."""
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.ops.element import lame_from_Ev
+    from vbicm_tpu.solver import make_solver, make_two_level_solver
+
+    fine_mf = build_fem_model(cooks_membrane_mesh(40, 20), dense=False)
+    fine = build_fem_model(cooks_membrane_mesh(40, 20), dense=True)
+    coarse = build_fem_model(cooks_membrane_mesh(20, 10), dense=True)
+    solve2l = make_two_level_solver(
+        fine_mf, coarse, 20, 10, 2,
+        cg_dtype=jnp.float32, refine_iters=3, tol=1e-4, maxiter=200,
+    )
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    u2 = solve2l(jnp.asarray(lam), jnp.asarray(mu))
+    u_ref = make_solver(fine)(jnp.asarray(lam), jnp.asarray(mu))
+    rel = np.linalg.norm(np.asarray(u2 - u_ref)) / np.linalg.norm(np.asarray(u_ref))
+    assert rel < 1e-8, rel

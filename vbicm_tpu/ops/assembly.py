@@ -47,7 +47,9 @@ def element_matvec(ke, lm, u, ndof):
     ke: (nele, edof, edof); lm: (nele, edof); u: (ndof,).
     """
     ue = u[lm]  # (nele, edof)
-    qe = jnp.einsum("eij,ej->ei", ke, ue)
+    # HIGHEST: TPU f32 matmuls default to bf16 passes, which is fatal inside
+    # CG recurrences — force full-precision accumulation.
+    qe = jnp.einsum("eij,ej->ei", ke, ue, precision=jax.lax.Precision.HIGHEST)
     return assemble_vector(qe, lm, ndof)
 
 

@@ -97,7 +97,14 @@ def make_solver(
 
     ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
     base = make_matfree_affine_solver(
-        ke_parts, model.lm, model.free_mask, model.ndof, tol=cg_tol, maxiter=cg_maxiter
+        ke_parts,
+        model.lm,
+        model.free_mask,
+        model.ndof,
+        tol=cg_tol,
+        maxiter=cg_maxiter,
+        cg_dtype=factor_dtype,
+        refine_iters=refine_iters,
     )
     f_masked = model.f_ext * model.free_mask
 
@@ -181,8 +188,12 @@ def make_fh_fun(
     refine_iters: int = 0,
     cg_tol: float = 1e-12,
     cg_maxiter: int = 4000,
+    solve_free: Optional[Callable] = None,
 ) -> Callable:
     """Build the observation operator ``fh(theta) -> (y, h)``.
+
+    ``solve_free`` overrides the solver (e.g. a two-level preconditioned one
+    from :func:`make_two_level_solver`).
 
     theta: (2,) standard-normal parameters; the map to (E, nu) follows
     ``main_custom_training.py:32`` / ``src/data_generation_2sam_more_loss.py:182-186``:
@@ -191,14 +202,15 @@ def make_fh_fun(
     y = (ux, uy) at ``cfg.node_id``; h = reference von Mises at
     ``cfg.ele_id``, qpts ``cfg.nipt_id``. Batch with ``jax.vmap(fh)``.
     """
-    solve_free = make_solver(
-        model,
-        method=method,
-        factor_dtype=factor_dtype,
-        refine_iters=refine_iters,
-        cg_tol=cg_tol,
-        cg_maxiter=cg_maxiter,
-    )
+    if solve_free is None:
+        solve_free = make_solver(
+            model,
+            method=method,
+            factor_dtype=factor_dtype,
+            refine_iters=refine_iters,
+            cg_tol=cg_tol,
+            cg_maxiter=cg_maxiter,
+        )
     tm = jnp.asarray(cfg.theta_map.theta_mean, model.dtype)
     ts = jnp.asarray(cfg.theta_map.theta_std, model.dtype)
     obs_dofs = jnp.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])
@@ -220,3 +232,79 @@ def make_fh_fun(
         return y, h
 
     return fh
+
+
+def make_coarse_spectral_apply(coarse_model: FemModel) -> Callable:
+    """Exact coarse-grid solve ``(coeffs, r_full) -> K_c(coeffs)^-1 r_full``
+    via the coarse pencil diagonalization — the coarse component of the
+    two-level preconditioner (``ops.multigrid``). Matches the input dtype
+    (f32 inside mixed-precision CG, f64 otherwise)."""
+    import numpy as np
+    import scipy.linalg
+
+    g, V = scipy.linalg.eigh(
+        np.asarray(coarse_model.k_lam_ff), np.asarray(coarse_model.k_mu_ff)
+    )
+    tables = {
+        jnp.dtype(jnp.float64): (jnp.asarray(g), jnp.asarray(V)),
+        jnp.dtype(jnp.float32): (
+            jnp.asarray(g, jnp.float32),
+            jnp.asarray(V, jnp.float32),
+        ),
+    }
+    free = coarse_model.free_dof
+    ndof = coarse_model.ndof
+
+    def apply(coeffs, r_full):
+        gj, Vj = tables[jnp.dtype(r_full.dtype)]
+        r_f = r_full[free]
+        d = coeffs[0].astype(r_full.dtype) * gj + coeffs[1].astype(r_full.dtype)
+        hp = jax.lax.Precision.HIGHEST
+        u_f = jnp.matmul(Vj, jnp.matmul(Vj.T, r_f, precision=hp) / d, precision=hp)
+        return jnp.zeros((ndof,), r_full.dtype).at[free].set(u_f)
+
+    return apply
+
+
+def make_two_level_solver(
+    model: FemModel,
+    coarse_model: FemModel,
+    nx_coarse: int,
+    ny_coarse: int,
+    ratio: int,
+    *,
+    cg_dtype=None,
+    refine_iters: int = 0,
+    tol: float = 1e-10,
+    maxiter: int = 500,
+    omega: float = 0.6,
+) -> Callable:
+    """Matrix-free solver with the spectral-coarse two-level preconditioner
+    — the production full-order path for refined Cook's meshes. Returns
+    ``solve_free(c0, c1) -> u (ndof,)`` with the adjoint custom VJP."""
+    from .ops.multigrid import cooks_prolongation, make_two_level_preconditioner
+    from .ops.solve import make_matfree_affine_solver
+
+    idx, w = cooks_prolongation(nx_coarse, ny_coarse, ratio)
+    coarse_apply = make_coarse_spectral_apply(coarse_model)
+    prec, _, _ = make_two_level_preconditioner(
+        idx, w, coarse_apply, model.free_mask, omega=omega
+    )
+    ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
+    base = make_matfree_affine_solver(
+        ke_parts,
+        model.lm,
+        model.free_mask,
+        model.ndof,
+        tol=tol,
+        maxiter=maxiter,
+        cg_dtype=cg_dtype,
+        refine_iters=refine_iters,
+        preconditioner=prec,
+    )
+    f_masked = model.f_ext * model.free_mask
+
+    def solve_free(c0, c1):
+        return base(jnp.stack([c0, c1]), f_masked)
+
+    return solve_free
