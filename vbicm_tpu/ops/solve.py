@@ -168,9 +168,22 @@ def make_spectral_affine_solver(parts, *, apply_dtype=None, refine_iters: int = 
         px = jnp.einsum("pij,j->pi", parts, x)
         return coeffs.astype(x.dtype) @ px
 
+    # Precision policy: TPU f32 matmuls default to fast bf16 passes (the
+    # bare apply then has ~2e-2 relative error, measured on v5e). Each
+    # f64-residual refinement iteration contracts that error by the apply's
+    # own factor, so with >= 2 iterations the result is ~1e-5-grade
+    # (measured 8e-6 relative at 2 iterations, ~1e-7 at 3) while the
+    # matmuls stay on the fast MXU path — far beyond training needs (the
+    # observation noise is ~0.3). With fewer refinements the apply must run
+    # at HIGHEST because it is (close to) the final answer; f64-parity
+    # users run apply_dtype=None (pure f64).
+    _apply_prec = (
+        jax.lax.Precision.DEFAULT if refine_iters >= 2 else jax.lax.Precision.HIGHEST
+    )
+
     def _coords_and_apply(coeffs, b):
         """Returns (x, a) with x = K^-1 b and a = its eigen-coordinates."""
-        hp = jax.lax.Precision.HIGHEST
+        hp = _apply_prec
         d = (coeffs[0].astype(Va.dtype) * ga + coeffs[1].astype(Va.dtype))
         a = jnp.matmul(Va.T, b.astype(Va.dtype), precision=hp) / d
         x = jnp.matmul(Va, a, precision=hp).astype(b.dtype)
