@@ -13,12 +13,25 @@ Run on the default backend (TPU via axon). Uses the production fast path:
 float32 Cholesky factorization + float64-grade iterative refinement.
 """
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+# Persistent compilation cache: compiles through the axon remote-compile
+# relay run 30-300s; warming the cache once makes subsequent bench runs
+# (e.g. the driver's end-of-round invocation) start in seconds.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 
 def main():

@@ -1,0 +1,86 @@
+"""VI on the reference's analytic validation cases (no FEM).
+
+The reference exercises the same two-step scheme on closed-form forward
+maps (case 1: linear; case 2: quadratic/exponential; case 3: 2-D —
+``src/data_generation.py:25-96``). The ELBO layer here takes arbitrary
+``batch_f``/``batch_h`` callables, so the toy cases run through the exact
+same loss/trainer code paths as the FEM problem. Case 1 has a closed-form
+posterior, so the script reports the analytic check:
+
+    q(theta | y) = N( 2y / (4 + sig_e), 1 / (1 + 4/sig_e) )
+"""
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", type=int, default=1, choices=[1, 2])
+    ap.add_argument("--n-data", type=int, default=2048)
+    ap.add_argument("--epochs", type=int, default=150)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from vbicm_tpu.models.mlp import ThetaPosteriorNet
+    from vbicm_tpu.prob.analytic import (
+        f_fun_1d_case1,
+        f_fun_1d_case2,
+        h_fun_1d_case1,
+        h_fun_1d_case2,
+    )
+    from vbicm_tpu.vi.elbo import make_loss_step1
+
+    sig_e = 0.1
+    f_fun = f_fun_1d_case1 if args.case == 1 else f_fun_1d_case2
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    theta = jax.random.normal(k1, (args.n_data, 1))
+    y = f_fun(theta) + jnp.sqrt(sig_e) * jax.random.normal(k2, (args.n_data, 1))
+    e_data = jax.random.normal(k3, (8, 1))
+
+    net = ThetaPosteriorNet(theta_dim=1)
+    params = net.init(k4, y[:1])
+    loss_fn = make_loss_step1(f_fun, e_data, sig_e, pairing="per_sample")
+    opt = optax.adam(1e-3, b1=0.99, eps=1e-10)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, yb):
+        def obj(p):
+            return loss_fn(yb, net.apply(p, yb))
+
+        loss, grads = jax.value_and_grad(obj)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    n, bs = args.n_data, 256
+    for epoch in range(args.epochs):
+        perm = jax.random.permutation(jax.random.PRNGKey(100 + epoch), n)
+        ys = y[perm]
+        for b in range(n // bs):
+            params, opt_state, loss = step(params, opt_state, ys[b * bs : (b + 1) * bs])
+    print(f"case {args.case}: final ELBO loss {float(loss):.4f}")
+
+    y_test = jnp.array([[1.0], [0.0], [-2.0]])
+    tm, tsig, _ = net.apply(params, y_test)
+    print("y_test        :", np.asarray(y_test).ravel())
+    print("VI mean       :", np.asarray(tm).ravel().round(4))
+    print("VI std        :", np.sqrt(np.asarray(tsig)).ravel().round(4))
+    if args.case == 1:
+        mu_true = 2 * np.asarray(y_test).ravel() / (4 + sig_e)
+        sd_true = np.sqrt(1 / (1 + 4 / sig_e))
+        print("analytic mean :", mu_true.round(4))
+        print(f"analytic std  : {sd_true:.4f}")
+        err = np.abs(np.asarray(tm).ravel() - mu_true).max()
+        print(f"max |mean error| = {err:.4f}")
+
+
+if __name__ == "__main__":
+    main()
