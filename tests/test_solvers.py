@@ -89,3 +89,52 @@ def test_fh_spectral_vs_cholesky_batched(cooks_model):
     yc, hc = jax.jit(jax.vmap(fh_c))(thetas)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(yc), atol=1e-10)
     np.testing.assert_allclose(np.asarray(hs), np.asarray(hc), atol=1e-10)
+
+
+def test_newton_raphson_linear_one_iteration(cooks_model):
+    """NR driver on the linear problem: converges in exactly 1 iteration to
+    the direct solve (the reference's linear path is the same loop with its
+    convergence check observed, src/fem_solver.py:68-126)."""
+    from vbicm_tpu.ops.element import lame_from_Ev
+    from vbicm_tpu.ops.newton import newton_raphson
+
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    model = cooks_model
+    K = lam * model.k_lam_ff + mu * model.k_mu_ff
+    f = model.f_free
+
+    def residual(u):
+        return K @ u - f  # R = F_int - F_ext on free dofs
+
+    base = make_spectral_affine_solver(jnp.stack([model.k_lam_ff, model.k_mu_ff]))
+    coeffs = jnp.array([lam, mu])
+
+    def tangent_solve(u, r):
+        return -base(coeffs, r)
+
+    res = newton_raphson(residual, tangent_solve, jnp.zeros_like(f), tol_cr=1e-10)
+    assert bool(res.converged)
+    assert int(res.iterations) == 1
+    u_direct = base(coeffs, f)
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(u_direct), atol=1e-10)
+
+
+def test_newton_raphson_nonlinear():
+    """NR on a genuinely nonlinear system (cubic spring) — quadratic
+    convergence to machine precision."""
+    from vbicm_tpu.ops.newton import newton_raphson
+
+    k1, k3, fext = 2.0, 0.5, jnp.array([1.0, 2.0])
+
+    def residual(u):
+        return k1 * u + k3 * u**3 - fext
+
+    def tangent_solve(u, r):
+        kt = k1 + 3 * k3 * u**2  # diagonal tangent
+        return -r / kt
+
+    res = newton_raphson(residual, tangent_solve, jnp.zeros(2), tol_cr=1e-14, max_iter=20)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 8
+    u = np.asarray(res.u)
+    np.testing.assert_allclose(k1 * u + k3 * u**3, np.asarray(fext), atol=1e-10)

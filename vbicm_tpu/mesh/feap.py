@@ -12,8 +12,6 @@ Output is an immutable :class:`MeshData` of plain NumPy arrays, all 0-based
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 

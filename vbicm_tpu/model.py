@@ -23,14 +23,14 @@ Precomputed at build (trace) time, all theta-independent:
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .config import MaterialCard, ProblemConfig, SectionCard, SolverControl
+from .config import SectionCard
 from .mesh.feap import MeshData
 from .ops import quadrature
 from .ops.element import C_LAM3, C_MU3

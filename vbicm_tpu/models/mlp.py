@@ -17,8 +17,6 @@ statistically comparable to the reference.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

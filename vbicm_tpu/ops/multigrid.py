@@ -17,7 +17,7 @@ with the element matvec.
 """
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

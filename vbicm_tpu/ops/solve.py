@@ -28,9 +28,6 @@ shards over the element axis across chips.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve

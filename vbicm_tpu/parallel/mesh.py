@@ -20,7 +20,7 @@ solver (each device owns an element shard of the matvec; see
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import numpy as np

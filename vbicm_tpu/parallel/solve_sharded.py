@@ -15,13 +15,12 @@ explicit, and wrapped in the same adjoint custom VJP as the dense solvers
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..model import FemModel
 from ..ops.assembly import element_matvec

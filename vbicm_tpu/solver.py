@@ -15,7 +15,6 @@ iteration too, with the convergence check disabled in the TF path,
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -26,7 +25,6 @@ from .config import MaterialCard, ProblemConfig
 from .model import FemModel
 from .ops.element import (
     eps33_plane_stress,
-    lame_from_Ev,
     material_coeffs,
     stress6_plane_strain,
     stress6_plane_stress,

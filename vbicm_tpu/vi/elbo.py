@@ -22,8 +22,6 @@ the textbook per-observation Monte-Carlo pairing. Both are provided;
 from __future__ import annotations
 
 import math
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 
