@@ -207,3 +207,18 @@ def test_checkpoint_resume(tmp_path, cooks_model, small_fem_data):
     # resumed run continues from the checkpointed optimizer state: losses in
     # the continued segment stay in the same range as the straight run
     assert abs(h_res[3] - h_full[3]) < 2.0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from vbicm_tpu.utils.checkpoint import load_orbax, save_orbax
+
+    tree = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones(3)},
+        "epoch": np.asarray(7),
+    }
+    p = str(tmp_path / "ckpt")
+    save_orbax(p, tree)
+    restored = load_orbax(p, tree)
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3))
+    assert int(restored["epoch"]) == 7
