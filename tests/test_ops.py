@@ -256,3 +256,39 @@ def test_axisymmetric_bmatrix():
     eps = np.asarray(B) @ u
     np.testing.assert_allclose(eps[2], 1.0 / r, atol=1e-12)
     np.testing.assert_allclose(eps[[0, 1, 3]], 0.0, atol=1e-12)
+
+
+def test_generic_geometry_matches_quad4_path():
+    """element_geometry_generic reproduces the specialized quad4 precompute
+    bit-for-bit and produces consistent stiffness for a quad9 patch."""
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.model import _element_geometry, element_geometry_generic
+
+    m = cooks_membrane_mesh(4, 2)
+    qp, qw = quadrature.int2d(2)
+    B1, d1 = _element_geometry(m.coords, m.conn, qp, qw, 10.0)
+    B2, d2 = element_geometry_generic(m.coords, m.conn, qp, qw, 10.0)
+    np.testing.assert_allclose(B2, B1, atol=1e-14)
+    np.testing.assert_allclose(d2, d1, atol=1e-14)
+
+    # quad9 single-element patch: stiffness from the generic path must be
+    # symmetric PSD with exactly 3 rigid-body modes
+    coords9 = np.array(
+        [
+            [0, 0], [2, 0], [2, 2], [0, 2],        # corners
+            [1, 0], [2, 1], [1, 2], [0, 1],        # mid-sides
+            [1, 1],                                 # center
+        ],
+        dtype=float,
+    )
+    conn9 = np.arange(9, dtype=np.int32)[None, :]
+    qp3, qw3 = quadrature.int2d(3)
+    B9, d9 = element_geometry_generic(coords9, conn9, qp3, qw3, 1.0)
+    from vbicm_tpu.ops.element import C_LAM3, C_MU3, lame_from_Ev
+
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    C = lam * C_LAM3 + mu * C_MU3
+    ke = np.einsum("qai,ab,qbj,q->ij", B9[0], C, B9[0], d9[0])
+    np.testing.assert_allclose(ke, ke.T, atol=1e-10)
+    w = np.linalg.eigvalsh(ke)
+    assert (np.abs(w[:3]) < 1e-9).all() and (w[3:] > 1e-9).all()

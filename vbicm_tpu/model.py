@@ -242,3 +242,43 @@ def build_fem_model(
         stype=section.stype,
         dense=bool(dense),
     )
+
+
+def element_geometry_generic(coords, conn, qpts, qwts, thk):
+    """B-matrix / dvol precompute for ANY supported element order (3/4/8/9/
+    12/16 nodes) via the ``ops.shape`` natural-shape dispatch — the
+    generalization hook for higher-order meshes (the quad4 fast paths above
+    remain the default). Returns (B (nele, nqpt, 3, 2*nel), dvol).
+    """
+    from .ops.shape import shape_natural
+
+    conn = np.asarray(conn)
+    nele, nel = conn.shape
+    nqpt = qpts.shape[0]
+    fn = shape_natural(nel)
+    xl = np.asarray(coords)[conn]  # (nele, nel, 2)
+
+    B = np.zeros((nele, nqpt, 3, 2 * nel))
+    dvol = np.zeros((nele, nqpt))
+    for q in range(nqpt):
+        _, dn_nat_j = fn(float(qpts[q, 0]), float(qpts[q, 1]))
+        dn_nat = np.asarray(dn_nat_j)  # (nel, 2)
+        J = np.einsum("na,enb->eab", dn_nat, xl)
+        detj = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+        inv_t = (
+            np.stack(
+                [
+                    np.stack([J[:, 1, 1], -J[:, 1, 0]], axis=-1),
+                    np.stack([-J[:, 0, 1], J[:, 0, 0]], axis=-1),
+                ],
+                axis=1,
+            )
+            / detj[:, None, None]
+        )
+        dn_glob = np.einsum("na,eab->enb", dn_nat, inv_t)
+        B[:, q, 0, 0::2] = dn_glob[:, :, 0]
+        B[:, q, 1, 1::2] = dn_glob[:, :, 1]
+        B[:, q, 2, 0::2] = dn_glob[:, :, 1]
+        B[:, q, 2, 1::2] = dn_glob[:, :, 0]
+        dvol[:, q] = thk * detj * qwts[q]
+    return B, dvol
