@@ -83,3 +83,27 @@ def test_plots_and_xdmf(tmp_path, cooks_model):
     with h5py.File(tmp_path / "out.h5") as f:
         assert f["topology"].shape == (200, 4)
         assert f["step1"].shape == (231, 2)
+
+
+def test_1d_pdf_plot_family(tmp_path):
+    from vbicm_tpu.eval.postprocess import (
+        lognormal_pdf_1d,
+        normal_pdf_1d,
+        plot_pdf_comparison_1d,
+    )
+
+    rng = np.random.default_rng(0)
+    logz = rng.normal(size=8000) * 0.2 + 0.5
+    z = np.exp(logz)
+    pts = np.linspace(z.min(), z.max(), 200)
+    pdf_ln = lognormal_pdf_1d(pts, 0.5, 0.04)
+    # lognormal density integrates to ~1 over the support
+    np.testing.assert_allclose(np.trapezoid(pdf_ln, pts), 1.0, atol=0.02)
+    pdf_n = normal_pdf_1d(pts, float(z.mean()), float(z.var()))
+    fig = plot_pdf_comparison_1d(
+        pts, {"VI lognormal": pdf_ln, "Gaussian fit": pdf_n},
+        samples=z, path=str(tmp_path / "pdf1d.png"),
+    )
+    import os
+
+    assert os.path.exists(tmp_path / "pdf1d.png")

@@ -86,3 +86,43 @@ def von_mises_field(model, sol, lam=None, mu=None):
 
     vm = von_mises_reference(jnp.asarray(sol.stress))  # (nele, nqpt)
     return np.asarray(vm.mean(axis=1))
+
+
+def lognormal_pdf_1d(z_points: np.ndarray, logz_mean: float, logz_sig: float) -> np.ndarray:
+    """1-D lognormal predictive density (variance parameterization, as the
+    step-2 nets output)."""
+    z = np.asarray(z_points)
+    return np.exp(-0.5 * (np.log(z) - logz_mean) ** 2 / logz_sig) / (
+        z * np.sqrt(2 * np.pi * logz_sig)
+    )
+
+
+def normal_pdf_1d(x_points: np.ndarray, mean: float, var: float) -> np.ndarray:
+    x = np.asarray(x_points)
+    return np.exp(-0.5 * (x - mean) ** 2 / var) / np.sqrt(2 * np.pi * var)
+
+
+def plot_pdf_comparison_1d(points: np.ndarray, curves, *, xlabel: str = "z",
+                           path: Optional[str] = None, samples: Optional[np.ndarray] = None):
+    """Overlay PDF comparison (the reference's plot_1d_pdf_* family,
+    ``src/postprocess_lib.py:105-430``): named density curves plus an
+    optional sample histogram/KDE. ``curves``: {label: (m,) densities}."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    if samples is not None:
+        ax.hist(samples, bins=60, density=True, alpha=0.25, color="0.5", label="samples")
+        kde = gaussian_kde_pdf(np.asarray(samples)[:, None], np.asarray(points)[:, None])
+        ax.plot(points, kde, "k--", lw=1, label="sample KDE")
+    for label, pdf in curves.items():
+        ax.plot(points, pdf, lw=1.5, label=label)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel("PDF")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    if path:
+        fig.savefig(path, dpi=150, bbox_inches="tight")
+    return fig
