@@ -68,3 +68,66 @@ def cooks_membrane_mesh(nx: int = 20, ny: int = 10) -> MeshData:
         max_node_dof=2,
         max_ele_node=4,
     )
+
+
+def cooks_membrane_mesh_q9(nx: int = 10, ny: int = 5) -> MeshData:
+    """9-node (biquadratic Lagrange) Cook's-membrane mesh.
+
+    Same bilinear geometry map as the quad4 generator on a (2nx+1) x (2ny+1)
+    nodal grid. Element node ordering matches ``ops.shape.quad9_natural``:
+    corners CCW, mid-sides (bottom, right, top, left), center. The right-edge
+    shear load uses the CONSISTENT quadratic-edge lumping (1/6, 4/6, 1/6 per
+    edge segment) so the total force is still 50 in +y.
+    """
+    gx, gy = 2 * nx, 2 * ny
+    xi = np.linspace(0.0, 1.0, gx + 1)
+    eta = np.linspace(0.0, 1.0, gy + 1)
+    Xi, Eta = np.meshgrid(xi, eta)
+    x = _L * Xi
+    y_bot = _H1 * Xi
+    y_top = _H1 + (_H2 - _H1) * Xi
+    y = y_bot + (y_top - y_bot) * Eta
+    coords = np.stack([x.ravel(), y.ravel()], axis=1)
+
+    def nid(r, c):
+        return r * (gx + 1) + c
+
+    conn = np.zeros((nx * ny, 9), dtype=np.int32)
+    e = 0
+    for r in range(ny):
+        for c in range(nx):
+            r0, c0 = 2 * r, 2 * c
+            conn[e] = (
+                nid(r0, c0), nid(r0, c0 + 2), nid(r0 + 2, c0 + 2), nid(r0 + 2, c0),
+                nid(r0, c0 + 1), nid(r0 + 1, c0 + 2), nid(r0 + 2, c0 + 1), nid(r0 + 1, c0),
+                nid(r0 + 1, c0 + 1),
+            )
+            e += 1
+
+    bc_nodes = np.array([nid(r, 0) for r in range(gy + 1)], dtype=np.int32)
+    bc_flags = np.ones((gy + 1, 2), dtype=np.int32)
+
+    # consistent edge load: per edge element of length fraction, corner
+    # nodes get t*h/6, midside t*4h/6; h = TOTAL/ny per edge element
+    load = np.zeros(gy + 1)
+    seg = _TOTAL_SHEAR / ny
+    for r in range(ny):
+        load[2 * r] += seg / 6.0
+        load[2 * r + 1] += 4.0 * seg / 6.0
+        load[2 * r + 2] += seg / 6.0
+    load_nodes = np.array([nid(r, gx) for r in range(gy + 1)], dtype=np.int32)
+    load_vals = np.stack([np.zeros(gy + 1), load], axis=1)
+
+    return MeshData(
+        coords=coords,
+        conn=conn,
+        bc_nodes=bc_nodes,
+        bc_flags=bc_flags,
+        load_nodes=load_nodes,
+        load_vals=load_vals,
+        disp_nodes=np.zeros((0,), dtype=np.int32),
+        disp_vals=np.zeros((0, 2), dtype=np.float64),
+        space_dim=2,
+        max_node_dof=2,
+        max_ele_node=9,
+    )

@@ -75,7 +75,7 @@ def _dof_maps(mesh: MeshData):
     """ID/LM/free/supported dof index arrays, 0-based interleaved."""
     nnodes = mesh.nnodes
     ndof = nnodes * 2
-    lm = np.empty((mesh.nele, 8), dtype=np.int32)
+    lm = np.empty((mesh.nele, 2 * mesh.max_ele_node), dtype=np.int32)
     lm[:, 0::2] = mesh.conn * 2
     lm[:, 1::2] = mesh.conn * 2 + 1
 
@@ -162,8 +162,8 @@ def build_fem_model(
     ``dense=None`` auto-selects: dense affine K parts when the free-dof count
     is small enough for batched Cholesky (< 4096), matrix-free otherwise.
     """
-    if section.etype != 1 or mesh.max_ele_node != 4:
-        raise NotImplementedError("quad4 meshes only (reference problem class)")
+    if section.etype != 1 or mesh.max_ele_node not in (3, 4, 8, 9, 12, 16):
+        raise NotImplementedError("unsupported element family")
     if section.stype not in (1, 2):
         raise NotImplementedError(
             "plane strain (2) and plane stress (1) supported; axisymmetric "
@@ -171,12 +171,13 @@ def build_fem_model(
             "an empty stub, src/mat_subroutine.py:300-302)"
         )
 
+    nel = mesh.max_ele_node
     lm, free_dof, supp_dof = _dof_maps(mesh)
     ndof = mesh.nnodes * 2
     f_ext = _load_vector(mesh, ndof)
 
-    qpts, qwts = quadrature.quadr2d(section.intp, 4)
-    if _native is not None and section.stype == 2:
+    qpts, qwts = quadrature.quadr2d(section.intp, nel)
+    if _native is not None and section.stype == 2 and nel == 4:
         B, dvol, ke_lam, ke_mu = _native.precompute_quad4(
             np.ascontiguousarray(mesh.coords),
             np.ascontiguousarray(mesh.conn, dtype=np.int32),
@@ -184,6 +185,16 @@ def build_fem_model(
             np.ascontiguousarray(qwts),
             float(section.thk),
         )
+    elif nel != 4:
+        B, dvol = element_geometry_generic(mesh.coords, mesh.conn, qpts, qwts, section.thk)
+        if section.stype == 2:
+            C0, C1 = C_LAM3, C_MU3
+        else:
+            from .ops.element import C_PS_A, C_PS_B
+
+            C0, C1 = C_PS_B, C_PS_A
+        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C0, B, dvol, optimize=True)
+        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C1, B, dvol, optimize=True)
     else:
         B, dvol = _element_geometry(mesh.coords, mesh.conn, qpts, qwts, section.thk)
         # affine element stiffness parts: ke_p = sum_q dvol_q B^T C_p B.
