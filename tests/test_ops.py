@@ -292,3 +292,27 @@ def test_generic_geometry_matches_quad4_path():
     np.testing.assert_allclose(ke, ke.T, atol=1e-10)
     w = np.linalg.eigvalsh(ke)
     assert (np.abs(w[:3]) < 1e-9).all() and (w[3:] > 1e-9).all()
+
+
+def test_sorted_scatter_matches_at_add():
+    from vbicm_tpu.ops.assembly import (
+        element_matvec,
+        make_element_matvec_sorted,
+    )
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.model import build_fem_model
+
+    model = build_fem_model(cooks_membrane_mesh(8, 4), dense=False)
+    rng = np.random.default_rng(0)
+    ke = jnp.asarray(rng.normal(size=(model.nele, 8, 8)))
+    u = jnp.asarray(rng.normal(size=(model.ndof,)))
+    ref = element_matvec(ke, model.lm, u, model.ndof)
+    mv = make_element_matvec_sorted(None, model.lm, model.ndof)
+    got = mv(ke, u)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+    # vmapped over a batch too
+    kes = jnp.asarray(rng.normal(size=(4, model.nele, 8, 8)))
+    us = jnp.asarray(rng.normal(size=(4, model.ndof)))
+    got_b = jax.vmap(mv)(kes, us)
+    ref_b = jax.vmap(lambda k, x: element_matvec(k, model.lm, x, model.ndof))(kes, us)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b), atol=1e-12)

@@ -74,3 +74,42 @@ def jacobi_diagonal(ke, lm, ndof):
     """Diagonal of the assembled K from element blocks (for preconditioning)."""
     diag_e = jnp.diagonal(ke, axis1=-2, axis2=-1)  # (nele, edof)
     return assemble_vector(diag_e, lm, ndof)
+
+
+def make_sorted_scatter(lm, ndof: int):
+    """Precompute a sorted segment-sum scatter for the element->global map.
+
+    Alternative lowering to ``.at[].add``: element contributions are
+    permuted into dof-sorted order once (host-side static permutation) and
+    reduced with ``jax.ops.segment_sum(..., indices_are_sorted=True)``,
+    which XLA lowers to a contiguous segmented reduction instead of a
+    scatter-add. Returns ``scatter(qe (nele, edof)) -> (ndof,)``.
+    """
+    import numpy as np
+
+    lm_flat = np.asarray(lm).reshape(-1)
+    perm = np.argsort(lm_flat, kind="stable").astype(np.int32)
+    sorted_ids = lm_flat[perm].astype(np.int32)
+    perm_j = jnp.asarray(perm)
+    ids_j = jnp.asarray(sorted_ids)
+
+    def scatter(qe):
+        flat = qe.reshape(-1)[perm_j]
+        return jax.ops.segment_sum(
+            flat, ids_j, num_segments=ndof, indices_are_sorted=True
+        )
+
+    return scatter
+
+
+def make_element_matvec_sorted(ke_or_none, lm, ndof: int):
+    """Element matvec built on the sorted scatter; ke passed per call."""
+    scatter = make_sorted_scatter(lm, ndof)
+    lm_j = jnp.asarray(lm)
+
+    def matvec(ke, u):
+        ue = u[lm_j]
+        qe = jnp.einsum("eij,ej->ei", ke, ue, precision=jax.lax.Precision.HIGHEST)
+        return scatter(qe)
+
+    return matvec

@@ -72,24 +72,41 @@ def make_two_level_preconditioner(
     fine_free_mask = jnp.asarray(fine_free_mask)
 
     def _prolong(u_c):
-        """coarse dofs (2*nc,) -> fine dofs (2*nf,)."""
+        """coarse dofs (2*nc,) -> fine dofs (2*nf,); pure gather/reshape
+        (no scatter — see the vmap note above)."""
         ux = jnp.sum(w * u_c[2 * idx], axis=1)
         uy = jnp.sum(w * u_c[2 * idx + 1], axis=1)
-        out = jnp.zeros((2 * n_fine,), u_c.dtype)
-        out = out.at[0::2].set(ux)
-        out = out.at[1::2].set(uy)
-        return out
+        return jnp.stack([ux, uy], axis=-1).reshape(-1)
 
     n_coarse = int(np.asarray(prolong_idx).max()) + 1
+    # Sorted segment-sum restriction (NOT .at[].add — the batched scatter-add
+    # is miscompiled under vmap on the axon TPU runtime, docs/KNOWN_ISSUES.md).
+    # Build the combined x/y dof scatter as one static sorted permutation.
+    _idx_np = np.asarray(prolong_idx)
+    _dof_ids = np.concatenate(
+        [(2 * _idx_np).reshape(-1), (2 * _idx_np + 1).reshape(-1)]
+    )
+    _perm = np.argsort(_dof_ids, kind="stable").astype(np.int32)
+    _sorted_ids = jnp.asarray(_dof_ids[_perm])
+    _perm_j = jnp.asarray(_perm)
 
     def _restrict(r_f):
-        """P^T: fine dofs -> coarse dofs."""
-        rx = r_f[0::2]
-        ry = r_f[1::2]
-        out = jnp.zeros((2 * n_coarse,), r_f.dtype)
-        out = out.at[(2 * idx).reshape(-1)].add((w * rx[:, None]).reshape(-1))
-        out = out.at[(2 * idx + 1).reshape(-1)].add((w * ry[:, None]).reshape(-1))
-        return out
+        """P^T: fine dofs -> coarse dofs (segment-sum lowering).
+
+        De-interleaving uses reshape, not strided slicing: batched strided
+        slices (``r[0::2]`` under vmap) are miscompiled on the axon TPU
+        runtime (lane contamination for B >= 2; docs/KNOWN_ISSUES.md).
+        """
+        r2 = r_f.reshape(-1, 2)
+        rx = r2[:, 0]
+        ry = r2[:, 1]
+        vals = jnp.concatenate(
+            [(w * rx[:, None]).reshape(-1), (w * ry[:, None]).reshape(-1)]
+        ).astype(r_f.dtype)
+        return jax.ops.segment_sum(
+            vals[_perm_j], _sorted_ids, num_segments=2 * n_coarse,
+            indices_are_sorted=True,
+        )
 
     def prec(coeffs, diag_inv, r):
         r = r * fine_free_mask.astype(r.dtype)

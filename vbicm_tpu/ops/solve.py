@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
-from .assembly import element_matvec
+from .assembly import element_matvec, make_sorted_scatter
 
 
 # ---------------------------------------------------------------------------
@@ -302,15 +302,26 @@ def make_matfree_affine_solver(
     recover f64-grade accuracy — the only f64 work per refinement is one
     residual matvec. Measured ~60x over pure-f64 CG on v5e.
     """
+    # NOTE: scatters here use the sorted segment-sum lowering, NOT
+    # ``.at[].add`` — the batched scatter-add is miscompiled under vmap on
+    # the axon TPU runtime (docs/KNOWN_ISSUES.md); segment_sum with a static
+    # host-side sort permutation is correct there and typically faster.
     ke_parts = jnp.asarray(ke_parts)
+    lm_np = lm
     lm = jnp.asarray(lm)
     free_mask = jnp.asarray(free_mask)
     ke_parts_cg = ke_parts if cg_dtype is None else ke_parts.astype(cg_dtype)
     free_mask_cg = free_mask if cg_dtype is None else free_mask.astype(cg_dtype)
+    _scatter = make_sorted_scatter(lm_np, ndof)
+
+    def _sorted_matvec(ke, u):
+        ue = u[lm]
+        qe = jnp.einsum("eij,ej->ei", ke, ue, precision=jax.lax.Precision.HIGHEST)
+        return _scatter(qe)
 
     def _masked_matvec_in(parts, mask, coeffs, x):
         ke = jnp.tensordot(coeffs.astype(parts.dtype), parts, axes=1)
-        y = element_matvec(ke, lm, x * mask, ndof)
+        y = _sorted_matvec(ke, x * mask)
         return y * mask + x * (1.0 - mask)  # identity on fixed dofs
 
     def _cg_once(coeffs, b):
@@ -319,10 +330,10 @@ def make_matfree_affine_solver(
         ke = jnp.tensordot(coeffs.astype(parts.dtype), parts, axes=1)
 
         def mv(x):
-            y = element_matvec(ke, lm, x * mask, ndof)
+            y = _sorted_matvec(ke, x * mask)
             return y * mask + x * (1.0 - mask)
 
-        d = element_matvec_diag(ke, lm, ndof)
+        d = _scatter(jnp.diagonal(ke, axis1=-2, axis2=-1))
         d = jnp.where(mask > 0, jnp.where(d == 0, 1.0, d), 1.0)
         minv = 1.0 / d
         if preconditioner is not None:
@@ -354,7 +365,7 @@ def make_matfree_affine_solver(
         w = _solve_once(coeffs, ubar)
         cbar = []
         for p in range(ke_parts.shape[0]):
-            ku = element_matvec(ke_parts[p], lm, u, ndof)
+            ku = _sorted_matvec(ke_parts[p], u)
             cbar.append(-jnp.vdot(w, ku * free_mask))
         return jnp.stack(cbar).astype(coeffs.dtype), w
 

@@ -81,15 +81,12 @@ def make_solver(
             base = make_dense_affine_solver(
                 parts, factor_dtype=factor_dtype, refine_iters=refine_iters, method=method
             )
-        free_dof = model.free_dof
-        ndof = model.ndof
         f_free = model.f_free
+        embed = _make_free_embed(model)
 
         def solve_free(lam, mu):
             coeffs = jnp.stack([lam, mu])
-            u_f = base(coeffs, f_free)
-            u = jnp.zeros((ndof,), dtype=u_f.dtype).at[free_dof].set(u_f)
-            return u
+            return embed(base(coeffs, f_free))
 
         return solve_free
 
@@ -111,6 +108,23 @@ def make_solver(
         return base(coeffs, f_masked)
 
     return solve_free
+
+
+def _make_free_embed(model: FemModel):
+    """free-dof vector -> full-dof vector with zeros on supports, as a pure
+    GATHER through a static permutation (``.at[free].set`` scatter is
+    miscompiled under vmap on the axon TPU runtime, docs/KNOWN_ISSUES.md)."""
+    import numpy as np
+
+    order = np.concatenate([np.asarray(model.free_dof), np.asarray(model.supp_dof)])
+    inv = jnp.asarray(np.argsort(order).astype(np.int32))
+    nsupp = int(model.supp_dof.shape[0])
+
+    def embed(u_f):
+        padded = jnp.concatenate([u_f, jnp.zeros((nsupp,), u_f.dtype)])
+        return padded[inv]
+
+    return embed
 
 
 def _stress6(model: FemModel, eps3, c0, c1):
@@ -251,7 +265,7 @@ def make_coarse_spectral_apply(coarse_model: FemModel) -> Callable:
         ),
     }
     free = coarse_model.free_dof
-    ndof = coarse_model.ndof
+    embed = _make_free_embed(coarse_model)
 
     def apply(coeffs, r_full):
         gj, Vj = tables[jnp.dtype(r_full.dtype)]
@@ -259,7 +273,7 @@ def make_coarse_spectral_apply(coarse_model: FemModel) -> Callable:
         d = coeffs[0].astype(r_full.dtype) * gj + coeffs[1].astype(r_full.dtype)
         hp = jax.lax.Precision.HIGHEST
         u_f = jnp.matmul(Vj, jnp.matmul(Vj.T, r_f, precision=hp) / d, precision=hp)
-        return jnp.zeros((ndof,), r_full.dtype).at[free].set(u_f)
+        return embed(u_f)
 
     return apply
 
