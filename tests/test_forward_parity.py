@@ -253,3 +253,21 @@ def test_quad9_differentiable():
     y, _ = fh(jnp.array([0.2, -0.1]))
     gy = jax.grad(lambda t: jnp.sum(fh(t)[0]))(jnp.array([0.2, -0.1]))
     np.testing.assert_allclose(float(gy[0]), -0.1 * float(jnp.sum(y)), rtol=1e-8)
+
+
+def test_quad8_end_to_end():
+    """8-node serendipity elements: load balance and accuracy between q4
+    and q9 at comparable resolution."""
+    from vbicm_tpu.config import SectionCard
+    from vbicm_tpu.mesh import cooks_membrane_mesh, cooks_membrane_mesh_q8
+
+    fine = build_fem_model(cooks_membrane_mesh(64, 32), dense=True)
+    uy_ref = float(np.asarray(fea_solution(fine, MaterialCard()).u)[-1])
+
+    m8 = build_fem_model(cooks_membrane_mesh_q8(5, 3), SectionCard(intp=3))
+    s8 = fea_solution(m8, MaterialCard())
+    # tip node = last node of the top row = the (gy, gx) grid point, which
+    # is the last kept node in row-major order
+    uy8 = float(np.asarray(s8.u)[-1])
+    np.testing.assert_allclose(np.asarray(s8.reactions)[1::2].sum(), -50.0, atol=1e-8)
+    assert abs(uy8 - uy_ref) / abs(uy_ref) < 0.03, (uy8, uy_ref)

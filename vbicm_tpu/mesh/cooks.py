@@ -131,3 +131,63 @@ def cooks_membrane_mesh_q9(nx: int = 10, ny: int = 5) -> MeshData:
         max_node_dof=2,
         max_ele_node=9,
     )
+
+
+def cooks_membrane_mesh_q8(nx: int = 10, ny: int = 5) -> MeshData:
+    """8-node serendipity Cook's-membrane mesh: the q9 nodal grid without
+    the element-center nodes. Node ordering per element matches
+    ``ops.shape.quad8_natural`` (corners CCW, mid-sides bottom/right/top/
+    left); consistent quadratic edge loading as in the q9 generator.
+    """
+    gx, gy = 2 * nx, 2 * ny
+    xi = np.linspace(0.0, 1.0, gx + 1)
+    eta = np.linspace(0.0, 1.0, gy + 1)
+    Xi, Eta = np.meshgrid(xi, eta)
+    x = _L * Xi
+    y = _H1 * Xi + (_H1 + (_H2 - _H1) * Xi - _H1 * Xi) * Eta
+    # keep every grid point except (odd row, odd col) = element centers
+    keep = np.ones((gy + 1, gx + 1), dtype=bool)
+    keep[1::2, 1::2] = False
+    new_id = -np.ones((gy + 1, gx + 1), dtype=np.int64)
+    new_id[keep] = np.arange(keep.sum())
+    coords = np.stack([x[keep], y[keep]], axis=1)
+
+    def nid(r, c):
+        return int(new_id[r, c])
+
+    conn = np.zeros((nx * ny, 8), dtype=np.int32)
+    e = 0
+    for r in range(ny):
+        for c in range(nx):
+            r0, c0 = 2 * r, 2 * c
+            conn[e] = (
+                nid(r0, c0), nid(r0, c0 + 2), nid(r0 + 2, c0 + 2), nid(r0 + 2, c0),
+                nid(r0, c0 + 1), nid(r0 + 1, c0 + 2), nid(r0 + 2, c0 + 1), nid(r0 + 1, c0),
+            )
+            e += 1
+
+    bc_nodes = np.array([nid(r, 0) for r in range(gy + 1)], dtype=np.int32)
+    bc_flags = np.ones((gy + 1, 2), dtype=np.int32)
+
+    load = np.zeros(gy + 1)
+    seg = _TOTAL_SHEAR / ny
+    for r in range(ny):
+        load[2 * r] += seg / 6.0
+        load[2 * r + 1] += 4.0 * seg / 6.0
+        load[2 * r + 2] += seg / 6.0
+    load_nodes = np.array([nid(r, gx) for r in range(gy + 1)], dtype=np.int32)
+    load_vals = np.stack([np.zeros(gy + 1), load], axis=1)
+
+    return MeshData(
+        coords=coords,
+        conn=conn,
+        bc_nodes=bc_nodes,
+        bc_flags=bc_flags,
+        load_nodes=load_nodes,
+        load_vals=load_vals,
+        disp_nodes=np.zeros((0,), dtype=np.int32),
+        disp_vals=np.zeros((0, 2), dtype=np.float64),
+        space_dim=2,
+        max_node_dof=2,
+        max_ele_node=8,
+    )
