@@ -23,7 +23,6 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..model import FemModel
-from ..ops.assembly import element_matvec
 from ..ops.solve import pcg
 
 
@@ -54,21 +53,46 @@ def make_element_sharded_solver(
     lm = _pad_elements(model.lm, nd)
     free_mask = model.free_mask
     ndof = model.ndof
+    edof = int(lm.shape[1])
+
+    # Per-shard sorted-scatter tables (NOT .at[].add — miscompiled when
+    # batched on the axon TPU runtime; sorted segment_sum is the safe
+    # lowering, see docs/KNOWN_ISSUES.md). Shards are contiguous chunks of
+    # the padded element axis, so the permutations are static host data that
+    # shard along with the elements.
+    lm_np = np.asarray(lm).reshape(nd, -1, edof)
+    perms, ids = [], []
+    for d in range(nd):
+        flat = lm_np[d].reshape(-1)
+        pp = np.argsort(flat, kind="stable").astype(np.int32)
+        perms.append(pp)
+        ids.append(flat[pp].astype(np.int32))
+    scat_perm = jnp.asarray(np.concatenate(perms))  # (nd * per_shard*edof,)
+    scat_ids = jnp.asarray(np.concatenate(ids))
 
     part = P(axis_name)
     repl = P()
 
-    def _sharded_core(ke_p_shard, lm_shard, coeffs, b):
+    def _local_scatter(perm_shard, ids_shard, qe):
+        flat = qe.reshape(-1)[perm_shard]
+        return jax.ops.segment_sum(
+            flat, ids_shard, num_segments=ndof, indices_are_sorted=True
+        )
+
+    def _sharded_core(ke_p_shard, lm_shard, perm_shard, ids_shard, coeffs, b):
         """Runs per device on its element shard; returns replicated u."""
         ke = jnp.einsum("p,epij->eij", coeffs.astype(ke_p_shard.dtype), ke_p_shard)
 
         def mv(x):
-            q_local = element_matvec(ke, lm_shard, x * free_mask, ndof)
-            q = jax.lax.psum(q_local, axis_name)
+            ue = (x * free_mask)[lm_shard]
+            qe = jnp.einsum(
+                "eij,ej->ei", ke, ue, precision=jax.lax.Precision.HIGHEST
+            )
+            q = jax.lax.psum(_local_scatter(perm_shard, ids_shard, qe), axis_name)
             return q * free_mask + x * (1.0 - free_mask)
 
-        diag_local = jnp.zeros((ndof,), dtype=ke.dtype).at[lm_shard.reshape(-1)].add(
-            jnp.diagonal(ke, axis1=-2, axis2=-1).reshape(-1)
+        diag_local = _local_scatter(
+            perm_shard, ids_shard, jnp.diagonal(ke, axis1=-2, axis2=-1)
         )
         diag = jax.lax.psum(diag_local, axis_name)
         minv = 1.0 / jnp.where(free_mask > 0, jnp.where(diag == 0, 1.0, diag), 1.0)
@@ -78,32 +102,36 @@ def make_element_sharded_solver(
     core = jax.shard_map(
         _sharded_core,
         mesh=mesh,
-        in_specs=(part, part, repl, repl),
+        in_specs=(part, part, part, part, repl, repl),
         out_specs=repl,
     )
 
     def _matvec_part(p_idx, x):
         """Sharded K_p @ x for the VJP coefficient gradient."""
 
-        def body(ke_p_shard, lm_shard, xx):
-            q = element_matvec(ke_p_shard[:, p_idx], lm_shard, xx, ndof)
-            return jax.lax.psum(q, axis_name)
+        def body(ke_p_shard, lm_shard, perm_shard, ids_shard, xx):
+            ue = xx[lm_shard]
+            qe = jnp.einsum(
+                "eij,ej->ei", ke_p_shard[:, p_idx], ue,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jax.lax.psum(_local_scatter(perm_shard, ids_shard, qe), axis_name)
 
         return jax.shard_map(
-            body, mesh=mesh, in_specs=(part, part, repl), out_specs=repl
-        )(ke_parts, lm, x)
+            body, mesh=mesh, in_specs=(part, part, part, part, repl), out_specs=repl
+        )(ke_parts, lm, scat_perm, scat_ids, x)
 
     @jax.custom_vjp
     def solve(coeffs, f):
-        return core(ke_parts, lm, coeffs, f)
+        return core(ke_parts, lm, scat_perm, scat_ids, coeffs, f)
 
     def _fwd(coeffs, f):
-        u = core(ke_parts, lm, coeffs, f)
+        u = core(ke_parts, lm, scat_perm, scat_ids, coeffs, f)
         return u, (coeffs, u)
 
     def _bwd(res, ubar):
         coeffs, u = res
-        w = core(ke_parts, lm, coeffs, ubar)
+        w = core(ke_parts, lm, scat_perm, scat_ids, coeffs, ubar)
         cbar = jnp.stack(
             [-jnp.vdot(w, _matvec_part(p, u) * free_mask) for p in range(2)]
         )
