@@ -43,6 +43,35 @@ def test_gauss_2x2_ordering():
     np.testing.assert_allclose(wts, 1.0)
 
 
+def test_gauss_order45_point_tables_match_reference():
+    """Orders 4/5 replicate the reference's DESCENDING per-axis fill
+    (src/fem_preprocess.py:565-606), so index-addressed probes (nipt_id)
+    land on the same physical points."""
+    # order 4: ss = [+a, +b, -b, -a], ww = [.5-h, .5+h, .5+h, .5-h]
+    g4 = np.sqrt(4.8)
+    h4 = (1.0 / 3.0) / g4
+    ss4 = np.array([np.sqrt((3 + g4) / 7), np.sqrt((3 - g4) / 7)])
+    ss4 = np.array([ss4[0], ss4[1], -ss4[1], -ss4[0]])
+    ww4 = np.array([0.5 - h4, 0.5 + h4, 0.5 + h4, 0.5 - h4])
+    pts, wts = quadrature.int2d(4)
+    P4 = np.array([[ss4[k], ss4[j]] for j in range(4) for k in range(4)])
+    W4 = np.array([ww4[j] * ww4[k] for j in range(4) for k in range(4)])
+    np.testing.assert_allclose(pts, P4, atol=1e-14)
+    np.testing.assert_allclose(wts, W4, atol=1e-14)
+    # order 5: ss = [+a, +b, 0, -b, -a]
+    g5 = np.sqrt(1120.0)
+    a5, b5 = np.sqrt((70 + g5) / 126), np.sqrt((70 - g5) / 126)
+    ss5 = np.array([a5, b5, 0.0, -b5, -a5])
+    wa = (21 * g5 + 117.6) / (g5 * (70 + g5))
+    wb = (21 * g5 - 117.6) / (g5 * (70 - g5))
+    ww5 = np.array([wa, wb, 2 * (1 - wa - wb), wb, wa])
+    pts, wts = quadrature.int2d(5)
+    P5 = np.array([[ss5[k], ss5[j]] for j in range(5) for k in range(5)])
+    W5 = np.array([ww5[j] * ww5[k] for j in range(5) for k in range(5)])
+    np.testing.assert_allclose(pts, P5, atol=1e-13)
+    np.testing.assert_allclose(wts, W5, atol=1e-13)
+
+
 def test_special_5pt_rule():
     pts, wts = quadrature.int2d(0)
     np.testing.assert_allclose(wts.sum(), 4.0 * 5 / 9 + 2.8 * 8 / 9, atol=1e-12)
@@ -295,19 +324,21 @@ def test_generic_geometry_matches_quad4_path():
 
 
 def test_sorted_scatter_matches_at_add():
-    from vbicm_tpu.ops.assembly import (
-        element_matvec,
-        make_element_matvec_sorted,
-    )
+    from vbicm_tpu.ops.assembly import element_matvec, make_sorted_scatter
     from vbicm_tpu.mesh import cooks_membrane_mesh
     from vbicm_tpu.model import build_fem_model
 
     model = build_fem_model(cooks_membrane_mesh(8, 4), dense=False)
+    scatter = make_sorted_scatter(model.lm, model.ndof)
+
+    def mv(ke, u):
+        qe = jnp.einsum("eij,ej->ei", ke, u[model.lm])
+        return scatter(qe)
+
     rng = np.random.default_rng(0)
     ke = jnp.asarray(rng.normal(size=(model.nele, 8, 8)))
     u = jnp.asarray(rng.normal(size=(model.ndof,)))
     ref = element_matvec(ke, model.lm, u, model.ndof)
-    mv = make_element_matvec_sorted(None, model.lm, model.ndof)
     got = mv(ke, u)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
     # vmapped over a batch too

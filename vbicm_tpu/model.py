@@ -48,6 +48,16 @@ class FemModel:
     # loading
     f_ext: jax.Array  # (ndof,)
     f_free: jax.Array  # (nfree,)
+    # prescribed (Dirichlet) displacements on supported dofs, aligned with
+    # supp_dof (reference ``Us``, src/fem_preprocess.py:443). Zero for
+    # force-controlled models. g_*_f are the precomputed affine lift vectors
+    # (K_lam @ u_s)[free] / (K_mu @ u_s)[free], so the effective RHS of a
+    # solve with coefficients (c0, c1) is f_free - c0*g_lam_f - c1*g_mu_f
+    # (reference embeds Us into u_n1 before assembly, src/fem_solver.py:74-101,
+    # which yields the same lifted system).
+    u_supp: jax.Array  # (nsupp,)
+    g_lam_f: jax.Array  # (nfree,)
+    g_mu_f: jax.Array  # (nfree,)
     # precomputed element quantities
     B: jax.Array  # (nele, nqpt, 3, 8)
     dvol: jax.Array  # (nele, nqpt)
@@ -65,6 +75,7 @@ class FemModel:
     thk: float = struct.field(pytree_node=False, default=10.0)
     stype: int = struct.field(pytree_node=False, default=2)
     dense: bool = struct.field(pytree_node=False, default=True)
+    has_prescribed: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def dtype(self):
@@ -96,7 +107,18 @@ def _dof_maps(mesh: MeshData):
 
     supp_dof = np.nonzero(fixed)[0].astype(np.int32)
     free_dof = np.nonzero(~fixed)[0].astype(np.int32)
-    return lm, free_dof, supp_dof
+
+    # prescribed values on the final support set (reference D_all_dof,
+    # src/fem_preprocess.py:372-410: a DISP row writes its value only into
+    # dofs that ended up supported — nonzero-value rows marked themselves
+    # supported above; zero-value rows only stick on BOUNdary-fixed dofs)
+    prescribed = np.zeros(ndof, dtype=np.float64)
+    for node, vals in zip(mesh.disp_nodes, mesh.disp_vals):
+        if fixed[2 * node]:
+            prescribed[2 * node] = vals[0]
+        if fixed[2 * node + 1]:
+            prescribed[2 * node + 1] = vals[1]
+    return lm, free_dof, supp_dof, prescribed
 
 
 def _load_vector(mesh: MeshData, ndof: int):
@@ -172,7 +194,7 @@ def build_fem_model(
         )
 
     nel = mesh.max_ele_node
-    lm, free_dof, supp_dof = _dof_maps(mesh)
+    lm, free_dof, supp_dof, prescribed = _dof_maps(mesh)
     ndof = mesh.nnodes * 2
     f_ext = _load_vector(mesh, ndof)
 
@@ -228,6 +250,17 @@ def build_fem_model(
     free_mask = np.zeros(ndof)
     free_mask[free_dof] = 1.0
 
+    # Dirichlet-lift vectors: g_p = (K_p @ u_s_full)[free] via per-element
+    # matvec + scatter on the host (works for dense and matrix-free models)
+    has_prescribed = bool(np.any(prescribed != 0.0))
+    u_supp = prescribed[supp_dof]
+    g_lam = np.zeros(ndof)
+    g_mu = np.zeros(ndof)
+    if has_prescribed:
+        us_e = prescribed[lm]  # (nele, edof)
+        np.add.at(g_lam, lm.reshape(-1), np.einsum("eij,ej->ei", ke_lam, us_e).reshape(-1))
+        np.add.at(g_mu, lm.reshape(-1), np.einsum("eij,ej->ei", ke_mu, us_e).reshape(-1))
+
     as_dt = lambda x: jnp.asarray(x, dtype=dtype)
     return FemModel(
         coords=as_dt(mesh.coords),
@@ -238,6 +271,9 @@ def build_fem_model(
         free_mask=as_dt(free_mask),
         f_ext=as_dt(f_ext),
         f_free=as_dt(f_ext[free_dof]),
+        u_supp=as_dt(u_supp),
+        g_lam_f=as_dt(g_lam[free_dof]),
+        g_mu_f=as_dt(g_mu[free_dof]),
         B=as_dt(B),
         dvol=as_dt(dvol),
         ke_lam=as_dt(ke_lam),
@@ -252,6 +288,7 @@ def build_fem_model(
         thk=float(section.thk),
         stype=section.stype,
         dense=bool(dense),
+        has_prescribed=has_prescribed,
     )
 
 

@@ -53,17 +53,6 @@ def element_matvec(ke, lm, u, ndof):
     return assemble_vector(qe, lm, ndof)
 
 
-def free_free_submatrix(K, free_dof):
-    """Static-index gather of the free-free block."""
-    return K[jnp.ix_(free_dof, free_dof)]
-
-
-def expand_free(u_free, free_dof, ndof):
-    """Embed free-dof values into the full dof vector (supports = 0)."""
-    u = jnp.zeros((ndof,), dtype=u_free.dtype)
-    return u.at[free_dof].set(u_free)
-
-
 def make_free_mask(free_dof, ndof, dtype=jnp.float64):
     """0/1 mask over dofs, 1 on free dofs — for masked (matrix-free) solves."""
     m = jnp.zeros((ndof,), dtype=dtype)
@@ -100,16 +89,3 @@ def make_sorted_scatter(lm, ndof: int):
         )
 
     return scatter
-
-
-def make_element_matvec_sorted(ke_or_none, lm, ndof: int):
-    """Element matvec built on the sorted scatter; ke passed per call."""
-    scatter = make_sorted_scatter(lm, ndof)
-    lm_j = jnp.asarray(lm)
-
-    def matvec(ke, u):
-        ue = u[lm_j]
-        qe = jnp.einsum("eij,ej->ei", ke, ue, precision=jax.lax.Precision.HIGHEST)
-        return scatter(qe)
-
-    return matvec

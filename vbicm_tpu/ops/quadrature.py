@@ -57,8 +57,12 @@ def int2d(order: int):
         pts = np.stack([g * _LR, g * _LZ], axis=1)
         return pts, _LW / 81.0
     if order in (4, 5):
+        # reference fills k (x) fastest within j (y), with each 1-D axis in
+        # DESCENDING order (ss[0] = +sqrt((3+g)/7), src/fem_preprocess.py:565-606)
+        # — leggauss is ascending, so reverse to keep index-addressed probes
+        # (nipt_id) pointing at the same physical points as the reference
         p1, w1 = gauss1d(order)
-        # reference fills k (x) fastest within j (y)
+        p1, w1 = p1[::-1], w1[::-1]
         P = np.array([[p1[k], p1[j]] for j in range(order) for k in range(order)])
         W = np.array([w1[j] * w1[k] for j in range(order) for k in range(order)])
         return P, W

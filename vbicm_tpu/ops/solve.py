@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
-from .assembly import element_matvec, make_sorted_scatter
+from .assembly import make_sorted_scatter
 
 
 # ---------------------------------------------------------------------------
@@ -373,7 +373,3 @@ def make_matfree_affine_solver(
     return solve
 
 
-def element_matvec_diag(ke, lm, ndof):
-    diag_e = jnp.diagonal(ke, axis1=-2, axis2=-1)
-    d = jnp.zeros((ndof,), dtype=ke.dtype)
-    return d.at[lm.reshape(-1)].add(diag_e.reshape(-1))

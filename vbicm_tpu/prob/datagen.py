@@ -94,6 +94,20 @@ def generate_data_fem(
     eta = jnp.sqrt(sig_eta) * jax.random.normal(k_eta, (n_sam, d_z))
     y = np.asarray(f_clean + err)
     z = np.asarray(h_clean + eta)
+    if (z <= 0.0).any():
+        # z = h + eta can go nonpositive when the noise scale rivals the
+        # stress signal (coarse meshes / tiny test problems); log(z) would
+        # silently store NaNs that poison downstream lognormal fits. Clamp
+        # to the smallest positive z and say so.
+        import warnings
+
+        nbad = int((z <= 0.0).sum())
+        floor = float(z[z > 0.0].min()) if (z > 0.0).any() else 1e-12
+        warnings.warn(
+            f"{nbad} z samples were nonpositive after adding noise "
+            f"(sig_eta={sig_eta}); clamped to {floor:.3e} before log"
+        )
+        z = np.where(z > 0.0, z, floor)
     e_data = np.asarray(jax.random.normal(k_seed, (ne_sam, d_theta)))
 
     return MeasurementDataset(

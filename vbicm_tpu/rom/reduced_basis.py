@@ -102,6 +102,12 @@ def build_reduced_basis(
     """
     import scipy.sparse.linalg as spla
 
+    if model.has_prescribed:
+        raise NotImplementedError(
+            "reduced basis assumes a fixed coefficient-independent RHS; with "
+            "prescribed displacements the lifted RHS depends on (lam, mu) — "
+            "use the full-order solvers"
+        )
     A, B = _sparse_parts(model)
     f = np.asarray(model.f_ext) * (np.asarray(model.free_mask))
     fnorm = float(np.linalg.norm(f))
@@ -197,8 +203,9 @@ def make_fh_fun_rom(
     Only the probe rows of Q are used online; exactness is certified by
     ``rb.max_rel_residual`` over the training range.
     """
-    from ..ops.element import lame_from_Ev, stress6_plane_strain
+    from ..ops.element import material_coeffs
     from ..ops.vonmises import von_mises_reference
+    from ..solver import _stress6
 
     dt = model.dtype
     tm = jnp.asarray(cfg.theta_map.theta_mean, dt)
@@ -219,12 +226,15 @@ def make_fh_fun_rom(
         theta = jnp.asarray(theta, dt)
         E = jnp.exp(ts[0] * theta[0] + tm[0])
         v = 0.5 * jax.nn.sigmoid(ts[1] * theta[1] + tm[1])
-        lam, mu = lame_from_Ev(E, v)
-        u_r = V @ (fV / (lam * g + mu))
+        # (c0, c1) are the affine coefficients of the model's stype —
+        # (lam, mu) plane strain, (b, a) plane stress — matching the K parts
+        # the basis was built from (ADVICE r1: no plane-strain hardcode)
+        c0, c1 = material_coeffs(model.stype, E, v)
+        u_r = V @ (fV / (c0 * g + c1))
         y = Q_obs @ u_r
         ue = Q_ele @ u_r
         eps3 = jnp.einsum("qai,i->qa", B_probe, ue)
-        sig6 = stress6_plane_strain(eps3, lam, mu)
+        sig6 = _stress6(model, eps3, c0, c1)
         h = von_mises_reference(sig6)
         return y, h
 

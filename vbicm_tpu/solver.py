@@ -81,12 +81,12 @@ def make_solver(
             base = make_dense_affine_solver(
                 parts, factor_dtype=factor_dtype, refine_iters=refine_iters, method=method
             )
-        f_free = model.f_free
-        embed = _make_free_embed(model)
+        rhs = _make_lifted_rhs(model)
+        embed = _make_free_embed(model, with_prescribed=True)
 
         def solve_free(lam, mu):
             coeffs = jnp.stack([lam, mu])
-            return embed(base(coeffs, f_free))
+            return embed(base(coeffs, rhs(lam, mu)))
 
         return solve_free
 
@@ -102,6 +102,16 @@ def make_solver(
         refine_iters=refine_iters,
     )
     f_masked = model.f_ext * model.free_mask
+    if model.has_prescribed:
+        g_lam_full = _embed_free_vec(model, model.g_lam_f)
+        g_mu_full = _embed_free_vec(model, model.g_mu_f)
+        u_s_full = _prescribed_full(model)
+
+        def solve_free(lam, mu):
+            b = f_masked - lam * g_lam_full - mu * g_mu_full
+            return base(jnp.stack([lam, mu]), b) + u_s_full
+
+        return solve_free
 
     def solve_free(lam, mu):
         coeffs = jnp.stack([lam, mu])
@@ -110,21 +120,55 @@ def make_solver(
     return solve_free
 
 
-def _make_free_embed(model: FemModel):
-    """free-dof vector -> full-dof vector with zeros on supports, as a pure
-    GATHER through a static permutation (``.at[free].set`` scatter is
-    miscompiled under vmap on the axon TPU runtime, docs/KNOWN_ISSUES.md)."""
+def _embed_free_vec(model: FemModel, v_f):
+    """Static (build-time) embed of a free-dof vector into full dof space."""
+    import numpy as np
+
+    full = np.zeros(model.ndof)
+    full[np.asarray(model.free_dof)] = np.asarray(v_f)
+    return jnp.asarray(full, model.dtype)
+
+
+def _make_free_embed(model: FemModel, *, with_prescribed: bool = False):
+    """free-dof vector -> full-dof vector with zeros (or, when
+    ``with_prescribed``, the model's prescribed ``u_supp`` values) on
+    supports, as a pure GATHER through a static permutation (``.at[free].set``
+    scatter is miscompiled under vmap on the axon TPU runtime,
+    docs/KNOWN_ISSUES.md)."""
     import numpy as np
 
     order = np.concatenate([np.asarray(model.free_dof), np.asarray(model.supp_dof)])
     inv = jnp.asarray(np.argsort(order).astype(np.int32))
     nsupp = int(model.supp_dof.shape[0])
+    u_s = model.u_supp if with_prescribed and model.has_prescribed else None
 
     def embed(u_f):
-        padded = jnp.concatenate([u_f, jnp.zeros((nsupp,), u_f.dtype)])
+        tail = (
+            jnp.zeros((nsupp,), u_f.dtype)
+            if u_s is None
+            else u_s.astype(u_f.dtype)
+        )
+        padded = jnp.concatenate([u_f, tail])
         return padded[inv]
 
     return embed
+
+
+def _make_lifted_rhs(model: FemModel):
+    """``rhs(c0, c1) -> f_free - c0*g_lam_f - c1*g_mu_f`` (Dirichlet lift;
+    reference src/fem_solver.py:74-101). Constant when nothing prescribed."""
+    if not model.has_prescribed:
+        return lambda c0, c1: model.f_free
+    return lambda c0, c1: model.f_free - c0 * model.g_lam_f - c1 * model.g_mu_f
+
+
+def _prescribed_full(model: FemModel):
+    """Static full-dof vector of prescribed values (zeros on free dofs)."""
+    import numpy as np
+
+    full = np.zeros(model.ndof)
+    full[np.asarray(model.supp_dof)] = np.asarray(model.u_supp)
+    return jnp.asarray(full, model.dtype)
 
 
 def _stress6(model: FemModel, eps3, c0, c1):
@@ -315,6 +359,16 @@ def make_two_level_solver(
         preconditioner=prec,
     )
     f_masked = model.f_ext * model.free_mask
+    if model.has_prescribed:
+        g_lam_full = _embed_free_vec(model, model.g_lam_f)
+        g_mu_full = _embed_free_vec(model, model.g_mu_f)
+        u_s_full = _prescribed_full(model)
+
+        def solve_free(c0, c1):
+            b = f_masked - c0 * g_lam_full - c1 * g_mu_full
+            return base(jnp.stack([c0, c1]), b) + u_s_full
+
+        return solve_free
 
     def solve_free(c0, c1):
         return base(jnp.stack([c0, c1]), f_masked)

@@ -226,7 +226,7 @@ class TwoStepTrainer:
                 params, opt_state, loss_val = step(params, opt_state, self._maybe_shard(yb))
             if rem:
                 yb = y_shuf[n_full * t.batch_size :]
-                params, opt_state, loss_val = step(params, opt_state, yb)
+                params, opt_state, loss_val = step(params, opt_state, self._maybe_shard(yb))
             loss_val = float(loss_val)
             if self.verbose:
                 print(f"[step1] epoch {epoch}: loss {loss_val:.6f} ({time.time()-tic:.2f}s)")
@@ -318,7 +318,12 @@ class TwoStepTrainer:
                 )
             if rem:
                 sl = slice(n_full * t.batch_size, n)
-                z_params, opt_state, loss_val = step(z_params, opt_state, y_s[sl], lm_s[sl], ls_s[sl])
+                z_params, opt_state, loss_val = step(
+                    z_params, opt_state,
+                    self._maybe_shard(y_s[sl]),
+                    self._maybe_shard(lm_s[sl]),
+                    self._maybe_shard(ls_s[sl]),
+                )
             loss_val = float(loss_val)
             if self.verbose:
                 print(f"[step2] epoch {epoch}: loss {loss_val:.3e} ({time.time()-tic:.2f}s)")
