@@ -26,6 +26,7 @@ def main():
         import vbicm_tpu
 
         vbicm_tpu.enable_x64()
+    vbicm_tpu.enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

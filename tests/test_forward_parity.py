@@ -271,3 +271,70 @@ def test_quad8_end_to_end():
     uy8 = float(np.asarray(s8.u)[-1])
     np.testing.assert_allclose(np.asarray(s8.reactions)[1::2].sum(), -50.0, atol=1e-8)
     assert abs(uy8 - uy_ref) / abs(uy_ref) < 0.03, (uy8, uy_ref)
+
+
+def test_quad16_end_to_end():
+    """Bicubic Lagrange elements (reference ``shp2dc`` capability,
+    src/fem_preprocess.py:973-1033): load balance, p-refinement accuracy
+    ordering q16 > q9 > q4 at matched nodal resolution, differentiable."""
+    from vbicm_tpu.config import SectionCard
+    from vbicm_tpu.mesh import (
+        cooks_membrane_mesh,
+        cooks_membrane_mesh_q9,
+        cooks_membrane_mesh_q16,
+    )
+
+    fine = build_fem_model(cooks_membrane_mesh(64, 32), dense=True)
+    uy_ref = float(np.asarray(fea_solution(fine, MaterialCard()).u)[-1])
+
+    # matched 13x7 nodal grids: q4 12x6, q9 6x3, q16 4x2
+    m4 = build_fem_model(cooks_membrane_mesh(12, 6))
+    uy4 = float(np.asarray(fea_solution(m4, MaterialCard()).u)[-1])
+    m9 = build_fem_model(cooks_membrane_mesh_q9(6, 3), SectionCard(intp=3))
+    uy9 = float(np.asarray(fea_solution(m9, MaterialCard()).u)[-1])
+    m16 = build_fem_model(cooks_membrane_mesh_q16(4, 2), SectionCard(intp=4))
+    s16 = fea_solution(m16, MaterialCard())
+    uy16 = float(np.asarray(s16.u)[-1])
+
+    np.testing.assert_allclose(np.asarray(s16.reactions)[1::2].sum(), -50.0, atol=1e-8)
+    e4, e9, e16 = (abs(u - uy_ref) for u in (uy4, uy9, uy16))
+    assert e16 < e9 < e4, (uy4, uy9, uy16, uy_ref)
+    assert e16 / abs(uy_ref) < 0.01, (uy16, uy_ref)
+
+    # differentiable through the cubic element path
+    cfg = ProblemConfig(node_id=m16.nnodes, ele_id=3, nipt_id=(1, 3))
+    fh = make_fh_fun(m16, cfg)
+    y, _ = fh(jnp.array([0.2, -0.1]))
+    gy = jax.grad(lambda t: jnp.sum(fh(t)[0]))(jnp.array([0.2, -0.1]))
+    np.testing.assert_allclose(float(gy[0]), -0.1 * float(jnp.sum(y)), rtol=1e-8)
+
+
+def test_quad12_end_to_end():
+    """12-node cubic serendipity elements (reference ``shp2ds`` capability,
+    src/fem_preprocess.py:1035-1120): load balance + close to the q16
+    answer at the same mesh (serendipity drops only interior modes)."""
+    from vbicm_tpu.config import SectionCard
+    from vbicm_tpu.mesh import (
+        cooks_membrane_mesh,
+        cooks_membrane_mesh_q12,
+        cooks_membrane_mesh_q16,
+    )
+
+    fine = build_fem_model(cooks_membrane_mesh(64, 32), dense=True)
+    uy_ref = float(np.asarray(fea_solution(fine, MaterialCard()).u)[-1])
+
+    # serendipity cubics lose their cubic convergence on DISTORTED meshes
+    # (Cook's elements are trapezoids — the classic serendipity caveat), so
+    # the assertion is monotone h-convergence, not q16-level accuracy:
+    # measured errors 7.9% (2x1) -> 2.1% (4x2) -> 0.23% (8x4)
+    errs = []
+    for nx, ny in ((2, 1), (4, 2), (8, 4)):
+        m12 = build_fem_model(cooks_membrane_mesh_q12(nx, ny), SectionCard(intp=4))
+        s12 = fea_solution(m12, MaterialCard())
+        np.testing.assert_allclose(
+            np.asarray(s12.reactions)[1::2].sum(), -50.0, atol=1e-8
+        )
+        uy12 = float(np.asarray(s12.u)[-1])
+        errs.append(abs(uy12 - uy_ref) / abs(uy_ref))
+    assert errs[2] < errs[1] < errs[0], errs
+    assert errs[2] < 5e-3, errs

@@ -1,0 +1,123 @@
+"""Reference-anchored training parity with QUANTIFIED tolerances.
+
+The reference's published per-epoch losses are single last-batch draws with
+huge variance (its step-1 history spans 1.45..5.96), so parity is asserted
+on deterministic quantities instead:
+
+ 1. our ELBO evaluated on the REFERENCE'S shipped trained weights
+    (results_2steps_proposed1, loaded via eval/reference_ckpt.py) over fixed
+    batches of the shipped dataset reproduces pinned values to 1e-8 —
+    this locks our loss semantics to the reference's trained state;
+ 2. a short step-1 training run reaches at least the reference-weight loss
+    level on the same data subset (statistical, generous-but-anchored band).
+
+Pins computed on CPU float64 (pure-f64 solver path); see docs/PARITY.md.
+"""
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(f"{REF}/results_2steps_proposed1"), reason="reference artifacts absent"
+)
+
+# our step-1 ELBO on the reference's final step-1 weights, first 8 batches
+# of 64 of the shipped dataset (CPU f64, cross pairing, shipped e_data)
+STEP1_PINS = [
+    3.9921397847, 3.7333706017, 5.0770941241, 3.7582882249,
+    3.8361750196, 3.3739686962, 4.1685048337, 5.0031677780,
+]
+# step-2 ELBO (alpha=1e-7) on the reference's final step-2 weights with its
+# own cached temp_data.mat bridge moments, mean over the same 8 batches
+STEP2_PIN_MEAN = 3.355717988830e-05
+
+
+@pytest.fixture(scope="module")
+def harness(cooks_model):
+    import jax
+    import jax.numpy as jnp
+
+    from vbicm_tpu.config import ProblemConfig
+    from vbicm_tpu.models.mlp import init_vi_networks
+    from vbicm_tpu.prob.datagen import load_dataset
+    from vbicm_tpu.solver import make_fh_fun
+    from vbicm_tpu.vi.elbo import make_loss_step1, make_loss_step2
+
+    cfg = ProblemConfig()
+    ds = load_dataset(f"{REF}/data_fem_test_big_noise.h5")
+    y = jnp.asarray(ds.y_data)
+    e = jnp.asarray(ds.e_data)
+    fh = make_fh_fun(cooks_model, cfg)
+    bfh = jax.jit(jax.vmap(fh))
+    loss1 = make_loss_step1(lambda t: bfh(t)[0], e, cfg.sig_e, "cross")
+    loss2 = make_loss_step2(lambda t: bfh(t)[1], e, cfg.sig_eta, 1e-7, "cross")
+    theta_net, th0, z_net, z0 = init_vi_networks(jax.random.PRNGKey(0))
+    return dict(y=y, e=e, loss1=loss1, loss2=loss2, theta_net=theta_net,
+                z_net=z_net, cfg=cfg)
+
+
+@needs_ref
+def test_step1_elbo_on_reference_weights(harness):
+    from vbicm_tpu.eval.reference_ckpt import load_theta_params
+
+    tp = load_theta_params(f"{REF}/results_2steps_proposed1/step1/19-3.81684013.h5")
+    y, loss1, net = harness["y"], harness["loss1"], harness["theta_net"]
+    for i, pin in enumerate(STEP1_PINS):
+        yb = y[i * 64 : (i + 1) * 64]
+        val = float(loss1(yb, net.apply(tp, yb)))
+        np.testing.assert_allclose(val, pin, rtol=1e-8)
+
+
+@needs_ref
+def test_step2_elbo_on_reference_weights(harness):
+    import jax.numpy as jnp
+
+    from vbicm_tpu.eval.reference_ckpt import (
+        load_temp_data_moments,
+        load_theta_params,
+        load_z_params,
+    )
+
+    tp = load_theta_params(f"{REF}/results_2steps_proposed1/step1/19-3.81684013.h5")
+    zp = load_z_params(f"{REF}/results_2steps_proposed1/step2/final_model_step2.h5")
+    lm, ls = load_temp_data_moments(f"{REF}/results_2steps_proposed1/temp_data.mat")
+    lm, ls = jnp.asarray(lm), jnp.asarray(ls)
+    y, loss2 = harness["y"], harness["loss2"]
+    tnet, znet = harness["theta_net"], harness["z_net"]
+    vals = []
+    for i in range(len(STEP1_PINS)):
+        sl = slice(i * 64, (i + 1) * 64)
+        tm, tsg, _ = tnet.apply(tp, y[sl])
+        zm, zs, lzs = znet.apply(zp, y[sl])
+        vals.append(float(loss2((y[sl], lm[sl], ls[sl]), (tm, tsg, zm, zs, lzs))))
+    np.testing.assert_allclose(np.mean(vals), STEP2_PIN_MEAN, rtol=1e-8)
+
+
+@needs_ref
+def test_short_training_reaches_reference_level(harness, cooks_model):
+    """12 epochs on a 1024-point subset must reach the reference-weight loss
+    level on that subset (calibrated: seeds land 3.88-3.93 vs the
+    reference-weight eval 4.12; full runs at 10k land 3.64-3.66 vs the
+    reference's full-data 3.644 — docs/PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vbicm_tpu.config import TrainConfig
+    from vbicm_tpu.vi.train import TwoStepTrainer
+
+    y = harness["y"][:1024]
+    e = harness["e"]
+    loss1, net = harness["loss1"], harness["theta_net"]
+    tcfg = TrainConfig(batch_size=64, num_epoch1=12)
+    tr = TwoStepTrainer(cooks_model, harness["cfg"], tcfg, results_path=None, verbose=False)
+    params, _ = tr.train_step1(y, e, jax.random.PRNGKey(50))
+    vals = [
+        float(loss1(y[i : i + 64], net.apply(params, y[i : i + 64])))
+        for i in range(0, 1024, 64)
+    ]
+    subset_eval = float(np.mean(vals))
+    ref_level = float(np.mean(STEP1_PINS))  # 4.118 on these batches
+    assert subset_eval < ref_level + 0.15, subset_eval
+    assert subset_eval > 2.5, subset_eval  # degenerate-collapse guard

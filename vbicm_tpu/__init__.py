@@ -39,6 +39,20 @@ def enable_x64() -> None:
     jax.config.update("jax_enable_x64", True)
 
 
+def enable_compilation_cache(path: str = None) -> None:
+    """Persistent XLA compilation cache. On the axon TPU tunnel every new
+    shape compiles through a remote relay (30-300 s); a warm cache makes
+    repeat runs of the drivers/benchmarks start in seconds."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 from . import config  # noqa: E402
 from .config import MaterialCard, SectionCard, ProblemConfig  # noqa: E402
 from .model import FemModel, build_fem_model  # noqa: E402

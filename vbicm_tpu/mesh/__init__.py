@@ -1,4 +1,18 @@
 from .feap import MeshData, read_feap_mesh
-from .cooks import cooks_membrane_mesh, cooks_membrane_mesh_q8, cooks_membrane_mesh_q9
+from .cooks import (
+    cooks_membrane_mesh,
+    cooks_membrane_mesh_q8,
+    cooks_membrane_mesh_q9,
+    cooks_membrane_mesh_q12,
+    cooks_membrane_mesh_q16,
+)
 
-__all__ = ["MeshData", "read_feap_mesh", "cooks_membrane_mesh", "cooks_membrane_mesh_q8", "cooks_membrane_mesh_q9"]
+__all__ = [
+    "MeshData",
+    "read_feap_mesh",
+    "cooks_membrane_mesh",
+    "cooks_membrane_mesh_q8",
+    "cooks_membrane_mesh_q9",
+    "cooks_membrane_mesh_q12",
+    "cooks_membrane_mesh_q16",
+]

@@ -133,6 +133,136 @@ def cooks_membrane_mesh_q9(nx: int = 10, ny: int = 5) -> MeshData:
     )
 
 
+def _cubic_grid(nx: int, ny: int):
+    """(3nx+1) x (3ny+1) nodal grid of the Cook's bilinear geometry map."""
+    gx, gy = 3 * nx, 3 * ny
+    xi = np.linspace(0.0, 1.0, gx + 1)
+    eta = np.linspace(0.0, 1.0, gy + 1)
+    Xi, Eta = np.meshgrid(xi, eta)
+    x = _L * Xi
+    y_bot = _H1 * Xi
+    y_top = _H1 + (_H2 - _H1) * Xi
+    y = y_bot + (y_top - y_bot) * Eta
+    return x, y, gx, gy
+
+
+def _cubic_edge_load(ny: int, gy: int):
+    """Consistent cubic-edge lumping of the total right-edge shear: for a
+    uniform traction on a cubic edge (nodes at -1, -1/3, 1/3, 1) the
+    consistent weights are (1/8, 3/8, 3/8, 1/8) of the segment force."""
+    load = np.zeros(gy + 1)
+    seg = _TOTAL_SHEAR / ny
+    for r in range(ny):
+        load[3 * r] += seg / 8.0
+        load[3 * r + 1] += 3.0 * seg / 8.0
+        load[3 * r + 2] += 3.0 * seg / 8.0
+        load[3 * r + 3] += seg / 8.0
+    return load
+
+
+def cooks_membrane_mesh_q16(nx: int = 5, ny: int = 3) -> MeshData:
+    """16-node bicubic Lagrange Cook's mesh (reference ``shp2dc``
+    capability, ``src/fem_preprocess.py:973-1033``). Element node ordering
+    matches ``ops.shape._Q16_IJ``: corners CCW, 2 edge nodes per edge
+    (bottom, right, top-reversed, left-reversed), then 4 interior."""
+    x, y, gx, gy = _cubic_grid(nx, ny)
+    coords = np.stack([x.ravel(), y.ravel()], axis=1)
+
+    def nid(r, c):
+        return r * (gx + 1) + c
+
+    conn = np.zeros((nx * ny, 16), dtype=np.int32)
+    e = 0
+    for r in range(ny):
+        for c in range(nx):
+            r0, c0 = 3 * r, 3 * c
+            conn[e] = (
+                nid(r0, c0), nid(r0, c0 + 3), nid(r0 + 3, c0 + 3), nid(r0 + 3, c0),
+                nid(r0, c0 + 1), nid(r0, c0 + 2),              # bottom
+                nid(r0 + 1, c0 + 3), nid(r0 + 2, c0 + 3),      # right
+                nid(r0 + 3, c0 + 2), nid(r0 + 3, c0 + 1),      # top (reversed)
+                nid(r0 + 2, c0), nid(r0 + 1, c0),              # left (reversed)
+                nid(r0 + 1, c0 + 1), nid(r0 + 1, c0 + 2),      # interior
+                nid(r0 + 2, c0 + 2), nid(r0 + 2, c0 + 1),
+            )
+            e += 1
+
+    bc_nodes = np.array([nid(r, 0) for r in range(gy + 1)], dtype=np.int32)
+    bc_flags = np.ones((gy + 1, 2), dtype=np.int32)
+    load = _cubic_edge_load(ny, gy)
+    load_nodes = np.array([nid(r, gx) for r in range(gy + 1)], dtype=np.int32)
+    load_vals = np.stack([np.zeros(gy + 1), load], axis=1)
+
+    return MeshData(
+        coords=coords,
+        conn=conn,
+        bc_nodes=bc_nodes,
+        bc_flags=bc_flags,
+        load_nodes=load_nodes,
+        load_vals=load_vals,
+        disp_nodes=np.zeros((0,), dtype=np.int32),
+        disp_vals=np.zeros((0, 2), dtype=np.float64),
+        space_dim=2,
+        max_node_dof=2,
+        max_ele_node=16,
+    )
+
+
+def cooks_membrane_mesh_q12(nx: int = 5, ny: int = 3) -> MeshData:
+    """12-node cubic serendipity Cook's mesh (reference ``shp2ds``
+    capability, ``src/fem_preprocess.py:1035-1120``): the bicubic nodal grid
+    without the 4 interior nodes of each element. Node ordering matches
+    ``ops.shape._Q12_EDGE`` (corners CCW, 2 edge nodes per edge)."""
+    x, y, gx, gy = _cubic_grid(nx, ny)
+    keep = np.ones((gy + 1, gx + 1), dtype=bool)
+    keep[1::3, 1::3] = False  # interior (1,1) of each cell
+    keep[1::3, 2::3] = False
+    keep[2::3, 1::3] = False
+    keep[2::3, 2::3] = False
+    new_id = -np.ones((gy + 1, gx + 1), dtype=np.int64)
+    new_id[keep] = np.arange(keep.sum())
+    coords = np.stack([x[keep], y[keep]], axis=1)
+
+    def nid(r, c):
+        assert new_id[r, c] >= 0
+        return int(new_id[r, c])
+
+    conn = np.zeros((nx * ny, 12), dtype=np.int32)
+    e = 0
+    for r in range(ny):
+        for c in range(nx):
+            r0, c0 = 3 * r, 3 * c
+            conn[e] = (
+                nid(r0, c0), nid(r0, c0 + 3), nid(r0 + 3, c0 + 3), nid(r0 + 3, c0),
+                nid(r0, c0 + 1), nid(r0, c0 + 2),              # bottom
+                nid(r0 + 1, c0 + 3), nid(r0 + 2, c0 + 3),      # right
+                nid(r0 + 3, c0 + 2), nid(r0 + 3, c0 + 1),      # top (reversed)
+                nid(r0 + 2, c0), nid(r0 + 1, c0),              # left (reversed)
+            )
+            e += 1
+
+    gy_nodes = [nid(r, 0) for r in range(gy + 1)]
+    bc_nodes = np.array(gy_nodes, dtype=np.int32)
+    bc_flags = np.ones((gy + 1, 2), dtype=np.int32)
+    load = _cubic_edge_load(ny, gy)
+    load_nodes = np.array([nid(r, gx) for r in range(gy + 1)], dtype=np.int32)
+    load_vals = np.stack([np.zeros(gy + 1), load], axis=1)
+
+    return MeshData(
+        coords=coords,
+        conn=conn,
+        bc_nodes=bc_nodes,
+        bc_flags=bc_flags,
+        load_nodes=load_nodes,
+        load_vals=load_vals,
+        disp_nodes=np.zeros((0,), dtype=np.int32),
+        disp_vals=np.zeros((0, 2), dtype=np.float64),
+        space_dim=2,
+        max_node_dof=2,
+        max_ele_node=12,
+    )
+
+
 def cooks_membrane_mesh_q8(nx: int = 10, ny: int = 5) -> MeshData:
     """8-node serendipity Cook's-membrane mesh: the q9 nodal grid without
     the element-center nodes. Node ordering per element matches

@@ -340,6 +340,17 @@ class TwoStepTrainer:
         k1, k2, k3 = jax.random.split(key, 3)
         theta_params, hist1 = self.train_step1(y_data, e_data, k1, epochs1)
         lm_post, ls_post = self.bridge(y_data, e_data, theta_params, k2)
+        if self.results_path is not None:
+            # persist the bridge targets like the reference's temp_data.mat
+            # (main_custom_training.py:310-328) so step-2 losses can be
+            # re-evaluated deterministically later
+            import scipy.io as sio
+
+            os.makedirs(self.results_path, exist_ok=True)
+            sio.savemat(
+                os.path.join(self.results_path, "temp_data.mat"),
+                {"logz_mean_post": lm_post, "logz_sig_post": ls_post},
+            )
         z_params, hist2 = self.train_step2(
             y_data, e_data, theta_params, lm_post, ls_post, k3, epochs2
         )
