@@ -60,35 +60,43 @@ def main():
         )
     )
 
-    # --- full-order path: two-level (spectral-coarse) preconditioned CG ---
+    # --- full-order path: two-level (spectral-coarse) preconditioned CG,
+    #     VMAPPED over the full 256-sample batch (BASELINE configs[4]) ---
+    # Round-1's "vmapped CG misbehaves" was root-caused to the batched
+    # affine-combine tensordot lowering to a single bf16 pass at default
+    # TPU precision; ops.solve now uses constant-operand per-part matvecs
+    # (docs/KNOWN_ISSUES.md) and the vmapped solve matches per-sample to
+    # 1e-13 at this size.
     from vbicm_tpu.solver import make_two_level_solver
 
-    # NOTE: vmapped f32 CG misbehaves on the axon TPU runtime (correct on
-    # CPU and single-sample TPU — see docs/KNOWN_ISSUES.md), so the
-    # full-order metric times the jitted single-sample solve.
-    n_cg = 8
     coarse = build_fem_model(cooks_membrane_mesh(40, 20), dense=True)
     solve2l = make_two_level_solver(
         model, coarse, 40, 20, nx // 40,
         cg_dtype=jnp.float32, refine_iters=2, tol=1e-4, maxiter=400,
     )
-    fh_cg = jax.jit(make_fh_fun(model, solve_free=solve2l))
-    y0, h0 = fh_cg(thetas[0])
-    jax.block_until_ready(y0)
+    fh_cg_one = jax.jit(make_fh_fun(model, solve_free=solve2l))
+    fh_cg = jax.jit(jax.vmap(make_fh_fun(model, solve_free=solve2l)))
+    yb, hb = fh_cg(thetas)
+    jax.block_until_ready(yb)
     t0 = time.perf_counter()
-    ys = [fh_cg(thetas[i])[0] for i in range(n_cg)]
-    jax.block_until_ready(ys)
+    yb, hb = fh_cg(thetas)
+    jax.block_until_ready(yb)
     dt_cg = time.perf_counter() - t0
-    # cross-check ROM against full-order
+    # correctness: batched == per-sample, and ROM agrees with full order
+    n_chk = 4
+    y_ps = jnp.stack([fh_cg_one(thetas[i])[0] for i in range(n_chk)])
+    vmap_vs_ps = float(jnp.max(jnp.abs(yb[:n_chk] - y_ps)))
     y_rom, h_rom = fh_rom(thetas)
-    err = float(jnp.max(jnp.abs(y_rom[:n_cg] - jnp.stack(ys))))
+    err = float(jnp.max(jnp.abs(y_rom - yb)))
     print(
         json.dumps(
             {
                 "metric": "scaled_fem_solves_per_sec_fullorder_2level",
-                "value": round(n_cg / dt_cg, 2),
+                "value": round(n_sam / dt_cg, 2),
                 "unit": "solves/s",
                 "mesh": f"{nx}x{ny}",
+                "batch": n_sam,
+                "vmap_vs_persample_max_err": vmap_vs_ps,
                 "rom_vs_cg_max_err": err,
                 "model_build_s": round(build_s, 2),
             }

@@ -62,16 +62,64 @@ def _read_block(lines, start, dtype):
     return (np.stack(rows, axis=0) if rows else np.zeros((0,), dtype=dtype)), i
 
 
+# sections this parser understands; anything else headed by an alphabetic
+# line is rejected loudly rather than silently skipped
+_KNOWN_SECTIONS = (
+    "COORdinates ALL",
+    "ELEMents ALL",
+    "BOUNdary conditions",
+    "FORCe conditions",
+    "DISPlacement conditions",
+    "Parameters",  # trailing documentation block in the shipped mesh; ignored
+)
+
+
+def _check_unknown_sections(lines):
+    """Fail loudly on section headers this parser does not understand —
+    a silently-skipped EDGE/PRESsure/TEMPerature block would otherwise
+    produce a quietly wrong model (round-1 review item)."""
+    import re
+
+    in_params = False
+    for ln, raw in enumerate(lines[2:], start=3):
+        t = raw.strip()
+        if not t:
+            continue
+        if t in _KNOWN_SECTIONS:
+            in_params = t == "Parameters"
+            continue
+        if in_params:
+            continue  # free-form documentation
+        # data rows start with a number; anything alphabetic is a header
+        if re.match(r"^[A-Za-z]", t):
+            raise ValueError(
+                f"{ln}: unknown section or stray text {t[:40]!r} — supported "
+                f"sections: {', '.join(_KNOWN_SECTIONS[:-1])}"
+            )
+
+
 def read_feap_mesh(path: str) -> MeshData:
     with open(path, "r") as f:
         lines = f.readlines()
 
+    if len(lines) < 2:
+        raise ValueError(f"{path}: truncated FEAP file")
     header = np.array(lines[1].split(), dtype=np.float64)
+    if header.shape[0] < 6:
+        raise ValueError(
+            f"{path}: header must be 'nnodes nele ? space_dim max_node_dof "
+            f"max_ele_node', got {lines[1]!r}"
+        )
     nnodes = int(header[0])
     nele = int(header[1])
     space_dim = int(header[3])
     max_node_dof = int(header[4])
     max_ele_node = int(header[5])
+    if nnodes <= 0 or nele <= 0:
+        raise ValueError(f"{path}: nonpositive nnodes/nele in header")
+    if max_ele_node not in (3, 4, 8, 9, 12, 16):
+        raise ValueError(f"{path}: unsupported max_ele_node {max_ele_node}")
+    _check_unknown_sections(lines)
 
     i = _seek_section(lines, 2, "COORdinates ALL")
     if i is None:
@@ -109,6 +157,9 @@ def read_feap_mesh(path: str) -> MeshData:
     else:
         ldata = np.zeros((0,), dtype=np.float64)
     if ldata.size:
+        # node id 0 = placeholder row (all-zero loads); drop it
+        ldata = ldata[ldata[:, 0] >= 1]
+    if ldata.size:
         load_nodes = (ldata[:, 0].astype(np.int64) - 1).astype(np.int32)
         load_vals = ldata[:, 2 : 2 + max_node_dof].astype(np.float64)
     else:
@@ -126,6 +177,16 @@ def read_feap_mesh(path: str) -> MeshData:
     else:
         disp_nodes = np.zeros((0,), dtype=np.int32)
         disp_vals = np.zeros((0, max_node_dof), dtype=np.float64)
+
+    # index sanity: a malformed file should fail here, not as a garbage solve
+    if conn.min() < 0 or conn.max() >= nnodes:
+        raise ValueError(f"{path}: element connectivity references nodes "
+                         f"outside [1, {nnodes}]")
+    for name, ids in (("BOUNdary", bc_nodes), ("FORCe", load_nodes),
+                      ("DISPlacement", disp_nodes)):
+        if ids.size and (ids.min() < -1 or ids.max() >= nnodes):
+            raise ValueError(f"{path}: {name} row references a node outside "
+                             f"[1, {nnodes}]")
 
     return MeshData(
         coords=coords,

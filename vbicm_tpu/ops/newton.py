@@ -35,6 +35,7 @@ def newton_raphson(
     tol_cr: float = 1e-10,
     max_iter: int = 10,
     use_residual_norm: bool = False,
+    backtrack: int = 0,
 ) -> NewtonResult:
     """Solve ``residual(u) = 0`` by Newton iteration.
 
@@ -43,6 +44,12 @@ def newton_raphson(
     differentiable solvers in ``ops.solve`` partial-applied).
     Convergence: energy norm ``|du . R_new|`` (reference ``tol_Rforce=0``)
     or residual 2-norm. Pure ``lax.while_loop`` — jit/vmap compatible.
+
+    ``backtrack > 0`` enables a monotone-residual line search (the
+    reference's line-search control card, ``model_property_cards.py:50-56``):
+    the step is halved up to ``backtrack`` times until ``|R(u + s du)| <=
+    |R(u)|`` — essential for strongly softening materials where the full
+    Newton step overshoots.
     """
     r0 = residual(u0)
 
@@ -53,8 +60,23 @@ def newton_raphson(
     def body(state):
         u, r, _, it, _ = state
         du = tangent_solve(u, r)
+        rn_prev = jnp.vdot(r, r)
         u_new = u + du
         r_new = residual(u_new)
+        if backtrack > 0:
+            def ls_cond(ls):
+                s, u_t, r_t, k = ls
+                return jnp.logical_and(jnp.vdot(r_t, r_t) > rn_prev, k < backtrack)
+
+            def ls_body(ls):
+                s, _, _, k = ls
+                s2 = 0.5 * s
+                u_t = u + s2 * du
+                return s2, u_t, residual(u_t), k + 1
+
+            _, u_new, r_new, _ = jax.lax.while_loop(
+                ls_cond, ls_body, (jnp.asarray(1.0, u0.dtype), u_new, r_new, jnp.array(0))
+            )
         if use_residual_norm:
             tol = jnp.linalg.norm(r_new)
         else:

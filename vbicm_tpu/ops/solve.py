@@ -76,12 +76,19 @@ def make_dense_affine_solver(
         method = "inverse" if factor_dtype is not None else "cholesky"
 
     def _affine_matvec(coeffs, x):
-        """sum_p c_p (parts_p @ x) in the precision of x."""
+        """sum_p c_p (parts_p @ x) in the precision of x — scalar-broadcast
+        combine, not a dot_general: under vmap a batched coeffs contraction
+        lowers to ONE bf16 matmul pass on TPU at default precision
+        (docs/KNOWN_ISSUES.md)."""
         px = jnp.einsum("pij,j->pi", parts, x)
-        return coeffs.astype(x.dtype) @ px
+        return sum(coeffs[p].astype(x.dtype) * px[p] for p in range(parts.shape[0]))
 
     def _factor(coeffs):
-        Kf = jnp.tensordot(coeffs.astype(parts_f.dtype), parts_f, axes=1)
+        # scalar-broadcast combine for the same reason as _affine_matvec
+        Kf = sum(
+            coeffs[p].astype(parts_f.dtype) * parts_f[p]
+            for p in range(parts_f.shape[0])
+        )
         cfac = cho_factor(Kf, lower=True)
         if method == "inverse":
             eye = jnp.eye(Kf.shape[-1], dtype=Kf.dtype)
@@ -319,21 +326,48 @@ def make_matfree_affine_solver(
         qe = jnp.einsum("eij,ej->ei", ke, ue, precision=jax.lax.Precision.HIGHEST)
         return _scatter(qe)
 
+    def _affine_matvec(parts, coeffs, u):
+        """K(c) @ u as ``sum_p c_p * (K_p @ u)`` with CONSTANT-operand
+        element einsums. Never materialize ``tensordot(coeffs, parts)``:
+        under vmap that batched contraction is a real dot_general which TPU
+        lowers to ONE bf16 pass at default precision (~2e-3 per apply —
+        round-1's "two-level vmap lane contamination" was exactly this,
+        amplified through hundreds of CG iterations). The per-part form is
+        exact, keeps the big einsum operand constant across the batch, and
+        skips the (B, nele, edof, edof) intermediate entirely."""
+        ue = u[lm]
+        q = None
+        for p in range(parts.shape[0]):
+            qp = jnp.einsum(
+                "eij,ej->ei", parts[p], ue, precision=jax.lax.Precision.HIGHEST
+            )
+            cp = coeffs[p].astype(parts.dtype)
+            q = cp * qp if q is None else q + cp * qp
+        return _scatter(q)
+
     def _masked_matvec_in(parts, mask, coeffs, x):
-        ke = jnp.tensordot(coeffs.astype(parts.dtype), parts, axes=1)
-        y = _sorted_matvec(ke, x * mask)
+        y = _affine_matvec(parts, coeffs, x * mask)
         return y * mask + x * (1.0 - mask)  # identity on fixed dofs
+
+    # per-part assembled diagonals (constants, precomputed once)
+    _diag_parts = jnp.stack(
+        [_scatter(jnp.diagonal(ke_parts_cg[p], axis1=-2, axis2=-1))
+         for p in range(ke_parts_cg.shape[0])]
+    )
 
     def _cg_once(coeffs, b):
         """One PCG solve in the CG dtype."""
         parts, mask = ke_parts_cg, free_mask_cg
-        ke = jnp.tensordot(coeffs.astype(parts.dtype), parts, axes=1)
 
         def mv(x):
-            y = _sorted_matvec(ke, x * mask)
+            y = _affine_matvec(parts, coeffs, x * mask)
             return y * mask + x * (1.0 - mask)
 
-        d = _scatter(jnp.diagonal(ke, axis1=-2, axis2=-1))
+        # scalar-broadcast combine (NOT tensordot — same bf16 trap as above)
+        d = sum(
+            coeffs[p].astype(parts.dtype) * _diag_parts[p]
+            for p in range(_diag_parts.shape[0])
+        )
         d = jnp.where(mask > 0, jnp.where(d == 0, 1.0, d), 1.0)
         minv = 1.0 / d
         if preconditioner is not None:
