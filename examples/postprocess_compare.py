@@ -134,7 +134,7 @@ def main():
                         n_samples=args.mcmc_sam, burn=500, step_size=0.25)
     theta_mc = np.asarray(chains.samples.reshape(-1, 2))[:: max(1, (8 * args.mcmc_sam) // 4000)]
     z_mc = np.asarray(
-        posterior_predictive_z(k_pp, batch_h, jnp.asarray(theta_mc), cfg.sig_eta)
+        posterior_predictive_z(k_pp, batch_fh, jnp.asarray(theta_mc), cfg.sig_eta)
     )
 
     grid = cmp.proposed_grid_density(np.asarray(zm_p)[0], np.asarray(zs_p)[0],

@@ -107,3 +107,76 @@ def test_1d_pdf_plot_family(tmp_path):
     import os
 
     assert os.path.exists(tmp_path / "pdf1d.png")
+
+
+def test_comparison_mc_samples_and_fields():
+    """eval.comparison: MC z-samples, KLD maps, and mean/sig fields on a
+    tiny model — shapes, finiteness, and the self-consistency property that
+    the 'reference' fields (MC through the same posterior) agree with the
+    classical fields when classical == proposed posterior."""
+    from vbicm_tpu.eval import comparison as cmp
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.model import build_fem_model
+
+    model = build_fem_model(cooks_membrane_mesh(6, 3))
+    from vbicm_tpu.config import ProblemConfig
+    import dataclasses
+
+    cfg = dataclasses.replace(ProblemConfig(), node_id=model.nnodes, ele_id=5)
+    fh = make_fh_fun(model, cfg)
+    batch_fh = jax.jit(jax.vmap(fh))
+    batch_h = lambda th: batch_fh(th)[1]
+
+    n_y, num_sam = 9, 24
+    rng = np.random.default_rng(0)
+    tm = rng.normal(size=(n_y, 2)) * 0.3
+    tsg = np.full((n_y, 2), 0.04)
+    key = jax.random.PRNGKey(0)
+
+    z = cmp.mc_z_samples(key, batch_h, tm, tsg, 3e-3, num_sam)
+    assert z.shape == (n_y, num_sam, 2) and np.isfinite(z).all()
+
+    # lognormal moments roughly matching the MC push
+    lz = np.log(np.clip(z, 1e-12, None))
+    zm, zs = lz.mean(axis=1), np.maximum(lz.var(axis=1), 1e-6)
+
+    fields = cmp.mean_sig_fields(key, batch_h, (tm, tsg, zm, zs), (tm, tsg),
+                                 3e-3, num_sam)
+    for name in ("proposed", "classical", "reference"):
+        m, s = fields[name]
+        assert m.shape == (n_y, 2) and np.isfinite(m).all()
+        assert s.shape == (n_y, 2) and np.isfinite(s).all()
+    # classical and reference use the SAME posterior here -> same
+    # distribution; means agree to MC error
+    m_c, _ = fields["classical"]
+    m_r, _ = fields["reference"]
+    np.testing.assert_allclose(m_c, m_r, rtol=0.2, atol=0.02)
+
+    rel = cmp.relative_error_fields(fields)
+    assert np.isfinite(rel["proposed"][0]).all()
+
+    y_data = rng.normal(size=(n_y, 2)) * 0.05
+    kld_p, kld_c = cmp.kld_maps(key, batch_h, y_data, (tm, tsg, zm, zs),
+                                (tm, tsg), 3e-3, num_sam)
+    assert kld_p.shape == (n_y,) and np.isfinite(kld_p).all()
+    assert kld_c.shape == (n_y,) and np.isfinite(kld_c).all()
+
+
+def test_comparison_grid_densities():
+    from vbicm_tpu.eval import comparison as cmp
+
+    rng = np.random.default_rng(1)
+    z_sam = np.exp(rng.normal(size=(500, 2)) * 0.2 + np.log(0.25))
+    gd = cmp.classical_grid_density(z_sam, mf=3.0, num_points=40)
+    assert gd.pdf.shape == (40, 40) and gd.pdf.min() >= 0.0
+    gd2 = cmp.proposed_grid_density(np.log([0.25, 0.25]), [0.04, 0.04],
+                                    mf=3.0, num_points=40)
+    # densities roughly integrate to 1 over their grids
+    for g in (gd, gd2):
+        dx = g.xg[0, 1] - g.xg[0, 0]
+        dy = g.yg[1, 0] - g.yg[0, 0]
+        total = g.pdf.sum() * dx * dy
+        assert 0.6 < total < 1.1, total
+    # cross-evaluate KDE on the proposed grid
+    pdf_x = cmp.kde_on_grid(z_sam, gd2)
+    assert pdf_x.shape == gd2.pdf.shape

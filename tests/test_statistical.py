@@ -90,3 +90,63 @@ def test_predictive_vs_mcmc_posterior_predictive(trained):
     # compare log-z means: VI predictive vs MCMC posterior predictive
     logz_mc = np.log(z_mc).mean(axis=0)
     np.testing.assert_allclose(zm, logz_mc, atol=0.25)
+
+
+def test_posterior_accuracy_vs_mcmc_quantified(cooks_model):
+    """Quantified, reference-anchored posterior accuracy (round-1 review
+    item: pin VI vs MCMC with real tolerances).
+
+    Finding that calibrates the bounds (docs/PARITY.md): the REFERENCE'S OWN
+    trained posterior does not track the per-y exact posterior — its
+    cross-pairing term2 (each y against every FEM sample in the batch,
+    main_custom_training.py:199-214) optimizes an AGGREGATE posterior whose
+    mean is nearly y-independent (~0.16 for all y) and whose variance is
+    ~1.8x the exact one. The mathematically-intended per-sample pairing
+    (TrainConfig.pairing='per_sample') DOES track MCMC. This test trains the
+    per-sample mode briefly and pins it to MCMC with calibrated tolerances:
+    25 epochs / n=2048 gives |VI mean - MCMC mean| <= 0.45 at probe y's with
+    strongly y-dependent MCMC means (range ~1.4), and variance ratio in
+    [0.8, 2.5] (the ne_sam=4 common-random-number design bounds how sharp
+    the variance estimate can get).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vbicm_tpu.config import ProblemConfig, TrainConfig
+    from vbicm_tpu.eval.mcmc import make_fem_logpost, metropolis
+    from vbicm_tpu.prob.datagen import load_dataset
+    from vbicm_tpu.solver import make_fh_fun
+    from vbicm_tpu.vi.train import TwoStepTrainer
+
+    import os
+
+    ds_path = "/root/reference/data_fem_test_big_noise.h5"
+    if not os.path.exists(ds_path):
+        pytest.skip("reference dataset absent")
+    cfg = ProblemConfig()
+    ds = load_dataset(ds_path)
+    y = jnp.asarray(ds.y_data[:2048])
+    e = jnp.asarray(ds.e_data)
+
+    tcfg = TrainConfig(batch_size=64, num_epoch1=25, pairing="per_sample")
+    tr = TwoStepTrainer(cooks_model, cfg, tcfg, results_path=None, verbose=False)
+    params, _ = tr.train_step1(y, e, jax.random.PRNGKey(5))
+
+    fh = make_fh_fun(cooks_model, cfg)
+    diffs, ratios, mcmc_means = [], [], []
+    for iy in (0, 7, 42):
+        y0 = jnp.asarray(ds.y_data[iy])
+        tm, tsg, _ = tr.theta_net.apply(params, y0[None])
+        logpost = make_fem_logpost(fh, y0, cfg.sig_e)
+        ch = metropolis(jax.random.PRNGKey(iy), logpost, n_chains=8,
+                        n_samples=2000, burn=800, step_size=0.4)
+        s = np.asarray(ch.samples.reshape(-1, 2))
+        diffs.append(abs(float(tm[0, 0]) - s[:, 0].mean()))
+        ratios.append(float(tsg[0, 0]) / s[:, 0].var())
+        mcmc_means.append(s[:, 0].mean())
+
+    # the probe posteriors really are y-dependent (spread ~1.4 units)...
+    assert max(mcmc_means) - min(mcmc_means) > 0.8, mcmc_means
+    # ...and the per-sample VI tracks them within the calibrated band
+    assert max(diffs) < 0.45, (diffs, mcmc_means)
+    assert all(0.8 < r < 2.5 for r in ratios), ratios
