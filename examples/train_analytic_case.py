@@ -16,7 +16,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--case", type=int, default=1, choices=[1, 2])
+    ap.add_argument("--case", type=int, default=1, choices=[1, 2, 3])
     ap.add_argument("--n-data", type=int, default=2048)
     ap.add_argument("--epochs", type=int, default=150)
     args = ap.parse_args()
@@ -35,6 +35,44 @@ def main():
         h_fun_1d_case2,
     )
     from vbicm_tpu.vi.elbo import make_loss_step1
+
+    if args.case == 3:
+        # 2-D case 3: full TWO-STEP pipeline on the analytic forward map
+        # (reference generate_data_2d_case3 + the same training script)
+        from vbicm_tpu.config import ProblemConfig, TrainConfig
+        from vbicm_tpu.prob.analytic import (
+            f_fun_2d_case3,
+            generate_data_2d_case3,
+            h_fun_2d_case3,
+        )
+        from vbicm_tpu.vi.train import TwoStepTrainer
+
+        ds = generate_data_2d_case3(jax.random.PRNGKey(0), args.n_data)
+
+        def fh(theta):
+            return f_fun_2d_case3(theta), h_fun_2d_case3(theta)
+
+        # the quartic f2 = x^4 + x + 1 produces exploding reparameterized
+        # gradients at the reference lr; 2e-4 keeps Adam stable. alpha=0:
+        # case 3's h spans 0.2..2e5, so the reference's alpha=1e-7 (tuned
+        # for h ~ 0.25 on the FEM case) makes alpha*term5 ~ 1e3 with
+        # exploding exp-moment gradients — step 2 trains on the
+        # moment-matching loss alone (its dominant term by design)
+        tcfg = TrainConfig(batch_size=256, num_epoch1=args.epochs,
+                           num_epoch2=args.epochs, pairing="per_sample",
+                           lr=2e-4, alpha=0.0)
+        trainer = TwoStepTrainer(None, ProblemConfig(), tcfg, fh=fh,
+                                 results_path=None, verbose=True)
+        res = trainer.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(1))
+        print(f"case 3 (2-D): step1 {res.hist_step1[-1]:.4f}, "
+              f"step2 {res.hist_step2[-1]:.3e}")
+        tm, tsg, zm, zs = trainer.predict(
+            res.theta_params, res.z_params, jnp.asarray(ds.y_data[:3])
+        )
+        print("theta posterior @3 test y:", np.asarray(tm).round(3))
+        print("z predictive mean        :",
+              np.exp(0.5 * np.asarray(zs) + np.asarray(zm)).round(3))
+        return
 
     sig_e = 0.1
     f_fun = f_fun_1d_case1 if args.case == 1 else f_fun_1d_case2

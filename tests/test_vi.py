@@ -222,3 +222,41 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     restored = load_orbax(p, tree)
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3))
     assert int(restored["epoch"]) == 7
+
+
+def test_analytic_case3_dataset_and_two_step():
+    """2-D case-3 dataset flow (reference generate_data_2d_case3) through
+    the FULL two-step trainer with an analytic fh override — completing the
+    analytic-cases component beyond the 1-D case-1 generator."""
+    from vbicm_tpu.prob.analytic import (
+        f_fun_2d_case3,
+        generate_data_1d_case2,
+        generate_data_2d_case3,
+        h_fun_2d_case3,
+    )
+    from vbicm_tpu.vi.train import TwoStepTrainer
+
+    ds2 = generate_data_1d_case2(jax.random.PRNGKey(3), 256)
+    assert ds2.y_data.shape == (256, 1) and np.isfinite(ds2.log_z_data).all()
+
+    ds = generate_data_2d_case3(jax.random.PRNGKey(0), 512)
+    assert ds.y_data.shape == (512, 2) and ds.e_data.shape == (4, 2)
+    # dataset matches the closed forms up to the declared noise levels
+    resid_y = ds.y_data - np.asarray(f_fun_2d_case3(jnp.asarray(ds.theta_data)))
+    assert abs(resid_y.std() - np.sqrt(0.1)) < 0.08
+
+    def fh(theta):
+        return f_fun_2d_case3(theta), h_fun_2d_case3(theta)
+
+    tcfg = TrainConfig(batch_size=128, num_epoch1=8, num_epoch2=8,
+                       pairing="per_sample", lr=2e-4, alpha=0.0)
+    tr = TwoStepTrainer(None, ProblemConfig(), tcfg, fh=fh,
+                        results_path=None, verbose=False)
+    res = tr.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(1))
+    assert np.isfinite(res.hist_step1).all()
+    assert np.isfinite(res.hist_step2).all()
+    # the z-predictive mean should correlate with the bridge targets
+    _, _, zm, zs = tr.predict(res.theta_params, res.z_params,
+                              jnp.asarray(ds.y_data))
+    corr = np.corrcoef(np.asarray(zm)[:, 0], res.logz_mean_post[:, 0])[0, 1]
+    assert corr > 0.7, corr

@@ -134,10 +134,14 @@ def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross"):
     def loss(batch, outputs):
         _, logz_mean_post, logz_sig_post = batch
         theta_mean, theta_sig, z_mean, z_sig, log_z_sig = outputs
+        mm = moment_match_loss(z_mean, z_sig, logz_mean_post, logz_sig_post)
+        if alpha == 0.0:
+            # skip terms 4/5 entirely: on problems where the lognormal
+            # moment identities overflow (h spanning many decades),
+            # 0 * inf would poison the pure moment-matching loss
+            return mm
         t4 = term4(z_mean, log_z_sig)
         t5 = term5(theta_mean, theta_sig, z_mean, z_sig, e_data, batch_h, sig_eta, pairing)
-        return (t4 - t5) * alpha + moment_match_loss(
-            z_mean, z_sig, logz_mean_post, logz_sig_post
-        )
+        return (t4 - t5) * alpha + mm
 
     return loss

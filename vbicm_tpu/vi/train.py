@@ -65,7 +65,7 @@ def _batches(n, batch_size):
 class TwoStepTrainer:
     def __init__(
         self,
-        model: FemModel,
+        model: Optional[FemModel],
         cfg: ProblemConfig = ProblemConfig(),
         tcfg: TrainConfig = TrainConfig(),
         *,
@@ -75,7 +75,12 @@ class TwoStepTrainer:
         dtype=jnp.float64,
         results_path: Optional[str] = None,
         verbose: bool = False,
+        fh=None,
     ):
+        """``fh`` overrides the forward model: any pure ``theta -> (y, h)``
+        (e.g. the analytic validation cases in ``prob.analytic`` or a ROM
+        ``make_fh_fun_rom``) — the trainer only needs the observation
+        operator, not the FEM model itself."""
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
@@ -83,7 +88,8 @@ class TwoStepTrainer:
         self.results_path = results_path
         self.verbose = verbose
 
-        fh = make_fh_fun(model, cfg, factor_dtype=factor_dtype, refine_iters=refine_iters)
+        if fh is None:
+            fh = make_fh_fun(model, cfg, factor_dtype=factor_dtype, refine_iters=refine_iters)
         self._fh = fh
         self._batch_fh = jax.vmap(fh)
         self.theta_net = ThetaPosteriorNet(tcfg.num_neuron, tcfg.num_layers1, cfg.theta_dim, dtype)
