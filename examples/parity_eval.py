@@ -69,7 +69,7 @@ def main():
 
     model = build_fem_model(cooks_membrane_mesh(20, 10))
     cfg = ProblemConfig()
-    fh = make_fh_fun(model, cfg, factor_dtype=jnp.float32, refine_iters=2)
+    fh = make_fh_fun(model, cfg, factor_dtype=jnp.float32, refine_iters=1)
     batch_fh = jax.vmap(fh)
     batch_f = lambda th: batch_fh(th)[0]
     batch_h = lambda th: batch_fh(th)[1]

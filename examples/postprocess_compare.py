@@ -96,7 +96,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     model = build_fem_model(cooks_membrane_mesh(20, 10))
     cfg = ProblemConfig()
-    fh = make_fh_fun(model, cfg, factor_dtype=jnp.float32, refine_iters=2)
+    fh = make_fh_fun(model, cfg, factor_dtype=jnp.float32, refine_iters=1)
     batch_fh = jax.jit(jax.vmap(fh))
     batch_h = lambda th: batch_fh(th)[1]
 

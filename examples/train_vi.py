@@ -45,7 +45,7 @@ def main():
         ds = load_dataset(args.dataset)
         print(f"loaded {ds.n_sam} samples, {ds.ne_sam} reparam seeds from {args.dataset}")
     else:
-        fh = make_fh_fun(model, cfg, factor_dtype=jnp.float32, refine_iters=2)
+        fh = make_fh_fun(model, cfg, factor_dtype=jnp.float32, refine_iters=1)
         t0 = time.time()
         ds = generate_data_fem(
             jax.random.PRNGKey(args.seed),
@@ -64,7 +64,7 @@ def main():
     )
     trainer = TwoStepTrainer(
         model, cfg, tcfg,
-        factor_dtype=jnp.float32, refine_iters=2,
+        factor_dtype=jnp.float32, refine_iters=1,
         results_path=args.results, verbose=True,
     )
     t0 = time.time()

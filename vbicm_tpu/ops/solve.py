@@ -17,9 +17,11 @@ the per-training-step hot op.
 Mixed precision (TPU fast path): factorize in float32 on the MXU, then
 recover float64-grade accuracy with iterative refinement — the residual
 ``r = f - K u`` is computed in the model dtype (f64) and only the
-correction solve reuses the f32 factor. ``refine_iters=2`` is enough for
-~1e-12 relative error at this problem's conditioning; parity tests run the
-pure-f64 path.
+correction solve reuses the f32 factor. With HIGHEST-precision f32 applies
+``refine_iters=1`` already lands ~2e-12 relative at this problem's
+conditioning (the emulated-f64 residual matvec dominates refinement cost,
+so fewer refinements is both faster and the accuracy is set by the apply
+precision); parity tests run the pure-f64 path.
 
 For refined meshes where a dense factor does not fit, ``matrix-free PCG``
 (Jacobi-preconditioned) with the same adjoint custom-VJP structure; its
@@ -172,18 +174,15 @@ def make_spectral_affine_solver(parts, *, apply_dtype=None, refine_iters: int = 
         px = jnp.einsum("pij,j->pi", parts, x)
         return coeffs.astype(x.dtype) @ px
 
-    # Precision policy: TPU f32 matmuls default to fast bf16 passes (the
-    # bare apply then has ~2e-2 relative error, measured on v5e). Each
-    # f64-residual refinement iteration contracts that error by the apply's
-    # own factor, so with >= 2 iterations the result is ~1e-5-grade
-    # (measured 8e-6 relative at 2 iterations, ~1e-7 at 3) while the
-    # matmuls stay on the fast MXU path — far beyond training needs (the
-    # observation noise is ~0.3). With fewer refinements the apply must run
-    # at HIGHEST because it is (close to) the final answer; f64-parity
-    # users run apply_dtype=None (pure f64).
-    _apply_prec = (
-        jax.lax.Precision.DEFAULT if refine_iters >= 2 else jax.lax.Precision.HIGHEST
-    )
+    # Precision policy (round-2 measurement, v5e, B=64x4 train step): the
+    # f64 residual matvec of each refinement iteration runs on EMULATED f64
+    # and dominates cost, so minimizing refinements beats cheapening the
+    # apply. HIGHEST-precision f32 apply (6 bf16 passes) gives 1.8e-7
+    # relative bare; ONE refinement lands 2e-12 at 872 steps/s — both
+    # faster and 6 orders more accurate than the round-1 policy of
+    # DEFAULT(bf16) apply + 2 refinements (5e-6, 641 steps/s). HIGHEST
+    # unconditionally; f64-parity users run apply_dtype=None (pure f64).
+    _apply_prec = jax.lax.Precision.HIGHEST
 
     def _coords_and_apply(coeffs, b):
         """Returns (x, a) with x = K^-1 b and a = its eigen-coordinates."""
