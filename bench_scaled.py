@@ -70,9 +70,13 @@ def main():
     from vbicm_tpu.solver import make_two_level_solver
 
     coarse = build_fem_model(cooks_membrane_mesh(40, 20), dense=True)
+    # config from the round-2 sweep vs the certified ROM oracle: f32 CG at
+    # tol 3e-3 + ONE f64 refinement lands 2.3e-08 relative (observation
+    # noise is 0.3) at 387 solves/s — 2.2x the tol-1e-4/refine-2 setting
+    # (179 solves/s at 2e-13, gratuitous accuracy)
     solve2l = make_two_level_solver(
         model, coarse, 40, 20, nx // 40,
-        cg_dtype=jnp.float32, refine_iters=2, tol=1e-4, maxiter=400,
+        cg_dtype=jnp.float32, refine_iters=1, tol=3e-3, maxiter=400,
     )
     fh_cg_one = jax.jit(make_fh_fun(model, solve_free=solve2l))
     fh_cg = jax.jit(jax.vmap(make_fh_fun(model, solve_free=solve2l)))

@@ -61,7 +61,10 @@ def plot_deformed_mesh(model, u, *, mag: float = 1.0, path: Optional[str] = None
 
     coords = np.asarray(model.coords)
     conn = np.asarray(model.conn)
-    disp = np.asarray(u).reshape(-1, 2)
+    u = np.asarray(u)
+    if getattr(model, "has_constraints", False) and u.size != 2 * coords.shape[0]:
+        u = u[np.asarray(model.dof_map)]  # solver space -> node-dof layout
+    disp = u.reshape(-1, 2)
     fig, ax = plt.subplots(figsize=(6, 7))
     if show_initial:
         ax.add_collection(

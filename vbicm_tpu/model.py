@@ -76,6 +76,13 @@ class FemModel:
     stype: int = struct.field(pytree_node=False, default=2)
     dense: bool = struct.field(pytree_node=False, default=True)
     has_prescribed: bool = struct.field(pytree_node=False, default=False)
+    # equality (multi-point) constraints: full node-dof space -> solver
+    # (reduced) dof space. Identity when no constraints. All solver-space
+    # vectors (u, f_ext, reactions) expand to node-dof space via
+    # ``v[dof_map]`` — a pure gather (vmap-safe).
+    dof_map: Optional[jax.Array] = None  # (ndof_full,) int32
+    ndof_full: int = struct.field(pytree_node=False, default=0)
+    has_constraints: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def dtype(self):
@@ -129,6 +136,57 @@ def _load_vector(mesh: MeshData, ndof: int):
     return f
 
 
+def _apply_eq_constraints(eq_groups, nnodes, lm, free_dof, supp_dof, prescribed, f_ext):
+    """Equality (multi-point) constraints via master-dof renumbering.
+
+    Mirrors the reference's eqcgroup semantics (``src/fem_preprocess.py:
+    308-324``): each group is a list of (node, direction) pairs (0-based
+    here) that SHARE one unknown; unconstrained dofs keep their relative
+    order with ids 0..numdof-1 and group k becomes reduced dof numdof+k
+    (the reference's numbering, 0-based). Returns the reduced-space
+    (lm, free_dof, supp_dof, prescribed, f_ext, dof_map, ndof_red):
+    loads accumulate into the shared dof; a group is fixed/prescribed if
+    ANY member is (values must agree)."""
+    ndof_full = nnodes * 2
+    fixed = np.zeros(ndof_full, dtype=bool)
+    fixed[supp_dof] = True
+
+    group_of = -np.ones(ndof_full, dtype=np.int64)
+    for k, group in enumerate(eq_groups):
+        for node, direction in group:
+            d = 2 * node + direction
+            if group_of[d] != -1:
+                raise ValueError(f"dof (node {node}, dir {direction}) appears in two groups")
+            group_of[d] = k
+
+    n_groups = len(eq_groups)
+    uncon = group_of == -1
+    numdof = int(uncon.sum())
+    dof_map = np.zeros(ndof_full, dtype=np.int32)
+    dof_map[uncon] = np.arange(numdof, dtype=np.int32)
+    dof_map[~uncon] = (numdof + group_of[~uncon]).astype(np.int32)
+    ndof_red = numdof + n_groups
+
+    lm_red = dof_map[lm]
+    f_red = np.zeros(ndof_red)
+    np.add.at(f_red, dof_map, f_ext)
+    fixed_red = np.zeros(ndof_red, dtype=bool)
+    np.logical_or.at(fixed_red, dof_map, fixed)
+    pres_red = np.zeros(ndof_red)
+    # a prescribed member imposes its value on the whole group
+    np.maximum.at(pres_red, dof_map, prescribed)
+    pres_min = np.zeros(ndof_red)
+    np.minimum.at(pres_min, dof_map, prescribed)
+    both = (pres_red != 0.0) & (pres_min != 0.0) & (pres_red != pres_min)
+    if both.any():
+        raise ValueError("conflicting prescribed values inside an equality group")
+    pres_red = np.where(pres_red != 0.0, pres_red, pres_min)
+
+    supp_red = np.nonzero(fixed_red)[0].astype(np.int32)
+    free_red = np.nonzero(~fixed_red)[0].astype(np.int32)
+    return lm_red.astype(np.int32), free_red, supp_red, pres_red, f_red, dof_map, ndof_red
+
+
 try:  # optional C++ fast path (native/geometry.cpp); NumPy fallback below
     from . import _native
 except ImportError:  # pragma: no cover
@@ -178,11 +236,19 @@ def build_fem_model(
     *,
     dense: Optional[bool] = None,
     dtype=jnp.float64,
+    eq_groups=None,
 ) -> FemModel:
     """Preprocess a mesh into the frozen FemModel pytree.
 
     ``dense=None`` auto-selects: dense affine K parts when the free-dof count
     is small enough for batched Cholesky (< 4096), matrix-free otherwise.
+
+    ``eq_groups``: optional equality (multi-point) constraints — a sequence
+    of groups, each a sequence of 0-based ``(node, direction)`` pairs whose
+    dofs share one unknown (reference eqcgroup card,
+    ``src/fem_preprocess.py:308-324``). The model's solver space is then the
+    REDUCED dof space; ``model.dof_map`` gathers solver-space vectors back
+    to the full node-dof layout.
     """
     if section.etype != 1 or mesh.max_ele_node not in (3, 4, 8, 9, 12, 16):
         raise NotImplementedError("unsupported element family")
@@ -197,6 +263,16 @@ def build_fem_model(
     lm, free_dof, supp_dof, prescribed = _dof_maps(mesh)
     ndof = mesh.nnodes * 2
     f_ext = _load_vector(mesh, ndof)
+
+    ndof_full = ndof
+    dof_map_np = np.arange(ndof, dtype=np.int32)
+    has_constraints = bool(eq_groups)
+    if has_constraints:
+        lm, free_dof, supp_dof, prescribed, f_ext, dof_map_np, ndof = (
+            _apply_eq_constraints(
+                eq_groups, mesh.nnodes, lm, free_dof, supp_dof, prescribed, f_ext
+            )
+        )
 
     qpts, qwts = quadrature.quadr2d(section.intp, nel)
     if _native is not None and section.stype == 2 and nel == 4:
@@ -240,10 +316,16 @@ def build_fem_model(
     if dense:
         K_lam = np.zeros((ndof, ndof))
         K_mu = np.zeros((ndof, ndof))
+        edof = lm.shape[1]
         for e in range(lm.shape[0]):
             idx = lm[e]
-            K_lam[np.ix_(idx, idx)] += ke_lam[e]
-            K_mu[np.ix_(idx, idx)] += ke_mu[e]
+            # np.add.at, NOT fancy-index += : equality constraints can put
+            # the SAME reduced dof twice in one element's map, and += drops
+            # duplicate contributions
+            ii = np.repeat(idx, edof)
+            jj = np.tile(idx, edof)
+            np.add.at(K_lam, (ii, jj), ke_lam[e].ravel())
+            np.add.at(K_mu, (ii, jj), ke_mu[e].ravel())
         k_lam_ff = K_lam[np.ix_(free_dof, free_dof)]
         k_mu_ff = K_mu[np.ix_(free_dof, free_dof)]
 
@@ -289,6 +371,9 @@ def build_fem_model(
         stype=section.stype,
         dense=bool(dense),
         has_prescribed=has_prescribed,
+        dof_map=jnp.asarray(dof_map_np),
+        ndof_full=int(ndof_full),
+        has_constraints=has_constraints,
     )
 
 

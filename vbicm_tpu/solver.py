@@ -19,6 +19,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .config import MaterialCard, ProblemConfig
@@ -48,8 +49,16 @@ class FemSolution:
 
     def nodal_disp(self, nnodes: int) -> jax.Array:
         """(2, nnodes) layout of the reference's ``nodal_disp``
-        (``src/fem_solver.py:153``)."""
+        (``src/fem_solver.py:153``). For models with equality constraints
+        expand first: ``expand_dofs(model, sol.u).reshape(nnodes, 2).T``."""
         return self.u.reshape(nnodes, 2).T
+
+
+def expand_dofs(model: FemModel, v) -> jax.Array:
+    """Solver-space vector -> full node-dof layout (pure gather; identity
+    for unconstrained models). Use for nodal presentation of u/reactions on
+    models built with ``eq_groups``."""
+    return v[model.dof_map]
 
 
 def make_solver(
@@ -269,7 +278,10 @@ def make_fh_fun(
         )
     tm = jnp.asarray(cfg.theta_map.theta_mean, model.dtype)
     ts = jnp.asarray(cfg.theta_map.theta_std, model.dtype)
-    obs_dofs = jnp.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])
+    # probe indices live in the full node-dof layout; map into the solver
+    # (reduced) space — identity unless equality constraints are active
+    obs_full = np.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])
+    obs_dofs = jnp.asarray(np.asarray(model.dof_map)[obs_full])
     e = cfg.ele_id - 1
     q = jnp.asarray(cfg.nipt_id, dtype=jnp.int32) - 1
     B_probe = model.B[e, q]  # (nq, 3, 8)
