@@ -12,6 +12,13 @@ from typing import Sequence
 import numpy as np
 
 
+# XDMF cell types by node count; cubic families export their corner
+# quad (XDMF has no standard 12/16-node quad cell)
+_TOPO = {3: ("Triangle", 3), 4: ("Quadrilateral", 4),
+         8: ("Quadrilateral_8", 8), 9: ("Quadrilateral_9", 9),
+         12: ("Quadrilateral", 4), 16: ("Quadrilateral", 4)}
+
+
 def write_xdmf(path_h5: str, model, displacements: Sequence[np.ndarray], *, mag: float = 1.0):
     """Write topology + deformed coordinates per step; emits `<path>.xdmf`."""
     import h5py
@@ -19,17 +26,22 @@ def write_xdmf(path_h5: str, model, displacements: Sequence[np.ndarray], *, mag:
     coords = np.asarray(model.coords)
     conn = np.asarray(model.conn)
     nnodes, nele = coords.shape[0], conn.shape[0]
+    topo_type, ncell = _TOPO[conn.shape[1]]
+    conn_out = conn[:, :ncell]
     with h5py.File(path_h5, "w") as f:
-        f["topology"] = conn.astype(np.int32)
+        f["topology"] = conn_out.astype(np.int32)
         for i, u in enumerate(displacements):
-            disp = np.asarray(u).reshape(-1, 2)
+            u = np.asarray(u)
+            if getattr(model, "has_constraints", False) and u.size != 2 * nnodes:
+                u = u[np.asarray(model.dof_map)]
+            disp = u.reshape(-1, 2)
             f[f"step{i}"] = coords + mag * disp
 
     steps = "\n".join(
         f"""    <Grid Name="step{i}" GridType="Uniform">
       <Time Value="{i}"/>
-      <Topology TopologyType="Quadrilateral" NumberOfElements="{nele}">
-        <DataItem Dimensions="{nele} 4" Format="HDF">{os.path.basename(path_h5)}:/topology</DataItem>
+      <Topology TopologyType="{topo_type}" NumberOfElements="{nele}">
+        <DataItem Dimensions="{nele} {ncell}" Format="HDF">{os.path.basename(path_h5)}:/topology</DataItem>
       </Topology>
       <Geometry GeometryType="XY">
         <DataItem Dimensions="{nnodes} 2" Format="HDF">{os.path.basename(path_h5)}:/step{i}</DataItem>
