@@ -48,3 +48,48 @@ def test_scaled_mesh():
     assert m.nele == 160 * 80
     np.testing.assert_allclose(m.load_vals[:, 1].sum(), 50.0)
     np.testing.assert_allclose(m.coords[-1], [48.0, 60.0])
+
+
+def test_feap_writer_roundtrip_all_families(tmp_path):
+    """write_feap_mesh -> read_feap_mesh is lossless for every element
+    family, including disp-controlled meshes."""
+    import dataclasses
+
+    from vbicm_tpu.mesh import (
+        cooks_membrane_mesh,
+        cooks_membrane_mesh_q8,
+        cooks_membrane_mesh_q9,
+        cooks_membrane_mesh_q12,
+        cooks_membrane_mesh_q16,
+        read_feap_mesh,
+        write_feap_mesh,
+    )
+
+    meshes = [
+        cooks_membrane_mesh(6, 3),
+        cooks_membrane_mesh_q8(3, 2),
+        cooks_membrane_mesh_q9(3, 2),
+        cooks_membrane_mesh_q12(2, 1),
+        cooks_membrane_mesh_q16(2, 1),
+    ]
+    # a disp-controlled variant too
+    m0 = meshes[0]
+    meshes.append(dataclasses.replace(
+        m0,
+        load_nodes=np.zeros((0,), dtype=np.int32),
+        load_vals=np.zeros((0, 2)),
+        disp_nodes=np.array([6], dtype=np.int32),
+        disp_vals=np.array([[0.01, 0.02]]),
+    ))
+    for k, mesh in enumerate(meshes):
+        p = str(tmp_path / f"m{k}.txt")
+        write_feap_mesh(p, mesh)
+        back = read_feap_mesh(p)
+        np.testing.assert_allclose(back.coords, mesh.coords, rtol=1e-15)
+        np.testing.assert_array_equal(back.conn, mesh.conn)
+        np.testing.assert_array_equal(back.bc_nodes, mesh.bc_nodes)
+        np.testing.assert_array_equal(back.bc_flags, mesh.bc_flags)
+        np.testing.assert_array_equal(back.load_nodes, mesh.load_nodes)
+        np.testing.assert_allclose(back.load_vals, mesh.load_vals, rtol=1e-15)
+        np.testing.assert_array_equal(back.disp_nodes, mesh.disp_nodes)
+        np.testing.assert_allclose(back.disp_vals, mesh.disp_vals, rtol=1e-15)

@@ -1,4 +1,4 @@
-from .feap import MeshData, read_feap_mesh
+from .feap import MeshData, read_feap_mesh, write_feap_mesh
 from .cooks import (
     cooks_membrane_mesh,
     cooks_membrane_mesh_q8,
@@ -10,6 +10,7 @@ from .cooks import (
 __all__ = [
     "MeshData",
     "read_feap_mesh",
+    "write_feap_mesh",
     "cooks_membrane_mesh",
     "cooks_membrane_mesh_q8",
     "cooks_membrane_mesh_q9",

@@ -201,3 +201,48 @@ def read_feap_mesh(path: str) -> MeshData:
         max_node_dof=max_node_dof,
         max_ele_node=max_ele_node,
     )
+
+
+def write_feap_mesh(path: str, mesh: MeshData) -> None:
+    """Write a MeshData in the FEAP-style text format this parser (and the
+    reference's ``get_input_data``) reads — generator meshes become portable
+    fixtures usable by the reference code too. Round-trip tested for every
+    element family."""
+    L = []
+    L.append("FEAP * * exported by vbicm_tpu\n")
+    L.append(
+        f"{mesh.nnodes:10d}{mesh.nele:10d}{1:10d}{mesh.space_dim:10d}"
+        f"{mesh.max_node_dof:10d}{mesh.max_ele_node:10d}\n"
+    )
+    L.append("\n")
+    L.append("COORdinates ALL\n")
+    for i, xy in enumerate(mesh.coords, start=1):
+        row = " ".join(f"{v: .15E}" for v in xy)
+        L.append(f"{i:10d} 0 {row}\n")
+    L.append("\n")
+    L.append("ELEMents ALL\n")
+    for e, nodes in enumerate(mesh.conn, start=1):
+        row = " ".join(f"{int(n) + 1:d}" for n in nodes)
+        L.append(f"{e:10d} 0 1 {row}\n")
+    L.append("\n")
+    L.append("BOUNdary conditions\n")
+    for n, flags in zip(mesh.bc_nodes, mesh.bc_flags):
+        row = " ".join(str(int(fl)) for fl in flags)
+        L.append(f"{int(n) + 1:10d} 0 {row}\n")
+    L.append("\n")
+    L.append("FORCe conditions\n")
+    if mesh.load_nodes.size:
+        for n, vals in zip(mesh.load_nodes, mesh.load_vals):
+            row = " ".join(f"{v: .15E}" for v in vals)
+            L.append(f"{int(n) + 1:10d} 0 {row}\n")
+    else:
+        L.append("         0 0 " + " ".join(["0.0"] * mesh.max_node_dof) + "\n")
+    L.append("\n")
+    if mesh.disp_nodes.size:
+        L.append("DISPlacement conditions\n")
+        for n, vals in zip(mesh.disp_nodes, mesh.disp_vals):
+            row = " ".join(f"{v: .15E}" for v in vals)
+            L.append(f"{int(n) + 1:10d} 0 {row}\n")
+        L.append("\n")
+    with open(path, "w") as f:
+        f.writelines(L)
