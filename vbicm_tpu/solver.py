@@ -278,6 +278,10 @@ def make_fh_fun(
         )
     tm = jnp.asarray(cfg.theta_map.theta_mean, model.dtype)
     ts = jnp.asarray(cfg.theta_map.theta_std, model.dtype)
+    if not (1 <= cfg.node_id <= model.nnodes):
+        raise ValueError(f"probe node_id {cfg.node_id} outside [1, {model.nnodes}]")
+    if not (1 <= cfg.ele_id <= model.nele):
+        raise ValueError(f"probe ele_id {cfg.ele_id} outside [1, {model.nele}]")
     # probe indices live in the full node-dof layout; map into the solver
     # (reduced) space — identity unless equality constraints are active
     obs_full = np.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])

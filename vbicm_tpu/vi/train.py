@@ -109,6 +109,16 @@ class TwoStepTrainer:
 
         return shard_batch(x, self.mesh)
 
+    def _maybe_shard_batched(self, x):
+        """(n_batches, bs, d) epoch tensor: shard the PER-STEP batch axis
+        (axis 1) across the mesh; the scan axis stays replicated."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, "data", *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
+
     def _opt_step1(self):
         return optax.inject_hyperparams(optax.adam)(
             learning_rate=self.tcfg.lr, b1=0.99, b2=0.999, eps=1e-10
@@ -219,6 +229,22 @@ class TwoStepTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        @jax.jit
+        def epoch_scan(params, opt_state, y_batches):
+            # one device dispatch per EPOCH instead of per step — the B=64
+            # train step is dispatch-bound on TPU (measured ~2x wall-clock:
+            # 905 vs 472 steps/s for a 156-batch epoch on v5e). Identical
+            # update sequence to the per-step loop.
+            def body(carry, yb):
+                p, o = carry
+                p, o, loss = step(p, o, yb)
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), y_batches
+            )
+            return params, opt_state, losses[-1]
+
         save_freq = max(1, num_epochs // 5)
         loss_val = 0.0
         for epoch in range(start_epoch, num_epochs):
@@ -227,9 +253,17 @@ class TwoStepTrainer:
             perm = jax.random.permutation(k_perm, n)
             y_shuf = y_data[perm]
             n_full, rem = _batches(n, t.batch_size)
-            for b in range(n_full):
-                yb = y_shuf[b * t.batch_size : (b + 1) * t.batch_size]
-                params, opt_state, loss_val = step(params, opt_state, self._maybe_shard(yb))
+            if t.scan_epochs and n_full > 1:
+                yb_all = y_shuf[: n_full * t.batch_size].reshape(
+                    n_full, t.batch_size, -1
+                )
+                params, opt_state, loss_val = epoch_scan(
+                    params, opt_state, self._maybe_shard_batched(yb_all)
+                )
+            else:
+                for b in range(n_full):
+                    yb = y_shuf[b * t.batch_size : (b + 1) * t.batch_size]
+                    params, opt_state, loss_val = step(params, opt_state, self._maybe_shard(yb))
             if rem:
                 yb = y_shuf[n_full * t.batch_size :]
                 params, opt_state, loss_val = step(params, opt_state, self._maybe_shard(yb))
@@ -305,6 +339,20 @@ class TwoStepTrainer:
             z_params = optax.apply_updates(z_params, updates)
             return z_params, opt_state, loss
 
+        @jax.jit
+        def epoch_scan(z_params, opt_state, yb_all, lm_all, ls_all):
+            # one dispatch per epoch (see train_step1)
+            def body(carry, batch):
+                p, o = carry
+                yb, lm_b, ls_b = batch
+                p, o, loss = step(p, o, yb, lm_b, ls_b)
+                return (p, o), loss
+
+            (z_params, opt_state), losses = jax.lax.scan(
+                body, (z_params, opt_state), (yb_all, lm_all, ls_all)
+            )
+            return z_params, opt_state, losses[-1]
+
         hist = np.zeros(num_epochs)
         save_freq = max(1, num_epochs // 5)
         loss_val = 0.0
@@ -314,14 +362,24 @@ class TwoStepTrainer:
             perm = jax.random.permutation(k_perm, n)
             y_s, lm_s, ls_s = y_data[perm], logz_mean_post[perm], logz_sig_post[perm]
             n_full, rem = _batches(n, t.batch_size)
-            for b in range(n_full):
-                sl = slice(b * t.batch_size, (b + 1) * t.batch_size)
-                z_params, opt_state, loss_val = step(
+            if t.scan_epochs and n_full > 1:
+                cut = n_full * t.batch_size
+                rs = lambda a: a[:cut].reshape(n_full, t.batch_size, -1)
+                z_params, opt_state, loss_val = epoch_scan(
                     z_params, opt_state,
-                    self._maybe_shard(y_s[sl]),
-                    self._maybe_shard(lm_s[sl]),
-                    self._maybe_shard(ls_s[sl]),
+                    self._maybe_shard_batched(rs(y_s)),
+                    self._maybe_shard_batched(rs(lm_s)),
+                    self._maybe_shard_batched(rs(ls_s)),
                 )
+            else:
+                for b in range(n_full):
+                    sl = slice(b * t.batch_size, (b + 1) * t.batch_size)
+                    z_params, opt_state, loss_val = step(
+                        z_params, opt_state,
+                        self._maybe_shard(y_s[sl]),
+                        self._maybe_shard(lm_s[sl]),
+                        self._maybe_shard(ls_s[sl]),
+                    )
             if rem:
                 sl = slice(n_full * t.batch_size, n)
                 z_params, opt_state, loss_val = step(
