@@ -71,18 +71,30 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # warmup / compile (a few steps: the first post-compile dispatches run
-    # slower paths; steady state is the production regime)
-    for _ in range(5):
-        params, opt_state, loss = train_step(params, opt_state, y)
+    # Production path: one lax.scan dispatch per epoch (vi.train
+    # scan_epochs mode) — the B=64 step is dispatch-bound per-step.
+    nb = 156  # one 10k-point epoch
+    ys = jax.random.normal(jax.random.PRNGKey(3), (nb, batch_size, 2), dtype)
+
+    @jax.jit
+    def epoch_scan(params, opt_state, ys):
+        def body(carry, yb):
+            p, o = carry
+            p, o, loss = train_step(p, o, yb)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), ys)
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = epoch_scan(params, opt_state, ys)
     jax.block_until_ready(loss)
 
-    n_iter = 300 if on_tpu else 10
+    n_iter = 4 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        params, opt_state, loss = train_step(params, opt_state, y)
+        params, opt_state, loss = epoch_scan(params, opt_state, ys)
     jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / n_iter
+    dt = (time.perf_counter() - t0) / (n_iter * nb)
     steps_per_sec = 1.0 / dt
 
     print(
