@@ -79,6 +79,55 @@ def load_z_params(path: str, dtype=jnp.float64):
     return {"params": {"z_mean_net": mean, "z_sig_net": sig}}
 
 
+def _write_mlp(f, layer_names, params):
+    for i, name in enumerate(layer_names):
+        g = f["model_weights"][name][name]
+        p = params[f"Dense_{i}"]
+        g["kernel:0"][...] = np.asarray(p["kernel"], dtype=g["kernel:0"].dtype)
+        g["bias:0"][...] = np.asarray(p["bias"], dtype=g["bias:0"].dtype)
+
+
+def export_keras_checkpoint(
+    out_path: str,
+    theta_params,
+    z_params=None,
+    *,
+    template: Optional[str] = None,
+):
+    """Write our flax params as a Keras HDF5 checkpoint the REFERENCE's own
+    scripts can load (``main_postprocess.py:50-56`` loads these with
+    ``tf.keras.models.load_model``) — interop in the reverse direction of
+    :func:`load_theta_params`.
+
+    The reference's shipped file is copied as the architecture template
+    (model_config / layer attrs stay valid) and only the weight datasets are
+    overwritten. With ``z_params`` the step-2 template (16 layers) is used,
+    else the step-1 one.
+    """
+    import shutil
+
+    if h5py is None:
+        raise RuntimeError("h5py unavailable")
+    ref_root = "/root/reference/results_2steps_proposed1"
+    if template is None:
+        template = (
+            f"{ref_root}/step2/final_model_step2.h5"
+            if z_params is not None
+            else f"{ref_root}/step1/19-3.81684013.h5"
+        )
+    shutil.copyfile(template, out_path)
+    with h5py.File(out_path, "r+") as f:
+        p = theta_params["params"]
+        _write_mlp(f, ["dense", "dense_1", "dense_2", "dense_3"], p["theta_mean_net"])
+        _write_mlp(f, ["dense_4", "dense_5", "dense_6", "dense_7"], p["theta_sig_net"])
+        if z_params is not None:
+            zp = z_params["params"]
+            _write_mlp(f, ["z_mean_dense0", "z_mean_dense1", "z_mean_dense2", "z_mean"],
+                       zp["z_mean_net"])
+            _write_mlp(f, ["z_sig_dense0", "z_sig_dense1", "z_sig_dense2", "log_z_sig"],
+                       zp["z_sig_net"])
+
+
 def load_temp_data_moments(path: str):
     """Read the reference's cached posterior log-z moments (``temp_data.mat``,
     MATLAB v5 format; keys ``logz_mean_post/logz_sig_post (n,2)`` written by
