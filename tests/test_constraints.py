@@ -114,3 +114,14 @@ def test_constrained_solver_differentiable(tied_model):
     eps = 1e-6
     fd = (float(tip(11.54 + eps, 7.69)) - float(tip(11.54 - eps, 7.69))) / (2 * eps)
     np.testing.assert_allclose(float(g[0]), fd, rtol=1e-5)
+
+
+def test_constrained_matfree_solver(tied_model):
+    """The matrix-free CG path works on the reduced system (segment-sum
+    scatters accumulate duplicate element-dof contributions correctly,
+    unlike the fancy-index host assembly this feature exposed)."""
+    model_d, mesh, groups = tied_model
+    model_mf = build_fem_model(mesh, eq_groups=groups, dense=False)
+    u_d = np.asarray(make_solver(model_d)(*material_coeffs(2, 20.0, 0.3)))
+    u_mf = np.asarray(make_solver(model_mf, cg_tol=1e-13)(*material_coeffs(2, 20.0, 0.3)))
+    np.testing.assert_allclose(u_mf, u_d, rtol=1e-8, atol=1e-11)

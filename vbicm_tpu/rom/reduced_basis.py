@@ -210,7 +210,10 @@ def make_fh_fun_rom(
     dt = model.dtype
     tm = jnp.asarray(cfg.theta_map.theta_mean, dt)
     ts = jnp.asarray(cfg.theta_map.theta_std, dt)
-    obs_dofs = np.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])
+    # probe indices map through dof_map (identity unless equality
+    # constraints renumbered the solver space)
+    obs_full = np.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])
+    obs_dofs = np.asarray(model.dof_map)[obs_full]
     e = cfg.ele_id - 1
     q = np.asarray(cfg.nipt_id, dtype=np.int32) - 1
     B_probe = model.B[e, q]  # (nq, 3, 8)

@@ -354,6 +354,12 @@ def make_two_level_solver(
     """Matrix-free solver with the spectral-coarse two-level preconditioner
     — the production full-order path for refined Cook's meshes. Returns
     ``solve_free(c0, c1) -> u (ndof,)`` with the adjoint custom VJP."""
+    if model.has_constraints or coarse_model.has_constraints:
+        raise NotImplementedError(
+            "the geometric prolongation assumes the unconstrained Cook's "
+            "node-dof layout; use the Jacobi-PCG or element-sharded solvers "
+            "for equality-constrained models"
+        )
     from .ops.multigrid import cooks_prolongation, make_two_level_preconditioner
     from .ops.solve import make_matfree_affine_solver
 
