@@ -284,15 +284,38 @@ def build_fem_model(
             float(section.thk),
         )
     elif nel != 4:
-        B, dvol = element_geometry_generic(mesh.coords, mesh.conn, qpts, qwts, section.thk)
         if section.stype == 2:
             C0, C1 = C_LAM3, C_MU3
         else:
             from .ops.element import C_PS_A, C_PS_B
 
             C0, C1 = C_PS_B, C_PS_A
-        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C0, B, dvol, optimize=True)
-        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C1, B, dvol, optimize=True)
+        if _native is not None:
+            # C++ generic-element fast path: shape derivatives evaluated
+            # per quadrature point here (tiny), hot loops in native code
+            from .ops.shape import shape_natural
+
+            fn = shape_natural(nel)
+            # one vmapped dispatch for all quadrature points (eager per-qpt
+            # evaluation costs ~0.7 s of op-dispatch overhead alone)
+            dshp = np.asarray(
+                jax.vmap(lambda p: fn(p[0], p[1])[1])(jnp.asarray(qpts))
+            )  # (nqpt, nel, 2)
+            B, dvol, ke_lam, ke_mu = _native.precompute_generic(
+                np.ascontiguousarray(mesh.coords),
+                np.ascontiguousarray(mesh.conn, dtype=np.int32),
+                np.ascontiguousarray(dshp),
+                np.ascontiguousarray(qwts),
+                float(section.thk),
+                np.ascontiguousarray(np.asarray(C0, dtype=np.float64)),
+                np.ascontiguousarray(np.asarray(C1, dtype=np.float64)),
+            )
+        else:
+            B, dvol = element_geometry_generic(
+                mesh.coords, mesh.conn, qpts, qwts, section.thk
+            )
+            ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C0, B, dvol, optimize=True)
+            ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C1, B, dvol, optimize=True)
     else:
         B, dvol = _element_geometry(mesh.coords, mesh.conn, qpts, qwts, section.thk)
         # affine element stiffness parts: ke_p = sum_q dvol_q B^T C_p B.
