@@ -342,13 +342,17 @@ def build_fem_model(
         edof = lm.shape[1]
         for e in range(lm.shape[0]):
             idx = lm[e]
-            # np.add.at, NOT fancy-index += : equality constraints can put
-            # the SAME reduced dof twice in one element's map, and += drops
-            # duplicate contributions
-            ii = np.repeat(idx, edof)
-            jj = np.tile(idx, edof)
-            np.add.at(K_lam, (ii, jj), ke_lam[e].ravel())
-            np.add.at(K_mu, (ii, jj), ke_mu[e].ravel())
+            if has_constraints:
+                # np.add.at, NOT fancy-index += : equality constraints can
+                # put the SAME reduced dof twice in one element's map, and
+                # += drops duplicate contributions
+                ii = np.repeat(idx, edof)
+                jj = np.tile(idx, edof)
+                np.add.at(K_lam, (ii, jj), ke_lam[e].ravel())
+                np.add.at(K_mu, (ii, jj), ke_mu[e].ravel())
+            else:  # unconstrained element maps are duplicate-free
+                K_lam[np.ix_(idx, idx)] += ke_lam[e]
+                K_mu[np.ix_(idx, idx)] += ke_mu[e]
         k_lam_ff = K_lam[np.ix_(free_dof, free_dof)]
         k_mu_ff = K_mu[np.ix_(free_dof, free_dof)]
 
