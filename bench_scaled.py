@@ -69,13 +69,14 @@ def main():
     # 1e-13 at this size.
     from vbicm_tpu.solver import make_two_level_solver
 
-    coarse = build_fem_model(cooks_membrane_mesh(40, 20), dense=True)
-    # config from the round-2 sweep vs the certified ROM oracle: f32 CG at
-    # tol 3e-3 + ONE f64 refinement lands 2.3e-08 relative (observation
-    # noise is 0.3) at 387 solves/s — 2.2x the tol-1e-4/refine-2 setting
-    # (179 solves/s at 2e-13, gratuitous accuracy)
+    # config from the round-2 sweeps vs the certified ROM oracle: an 80x40
+    # coarse grid (ratio 2; one-time 6s eigh setup at 6.6k dofs) + f32 CG
+    # at tol 3e-3 + ONE f64 refinement lands 1.3e-08 relative (observation
+    # noise is 0.3) at 530 solves/s — 3x the round-1 setting (179 solves/s
+    # at gratuitous 2e-13 accuracy)
+    coarse = build_fem_model(cooks_membrane_mesh(nx // 2, ny // 2), dense=True)
     solve2l = make_two_level_solver(
-        model, coarse, 40, 20, nx // 40,
+        model, coarse, nx // 2, ny // 2, 2,
         cg_dtype=jnp.float32, refine_iters=1, tol=3e-3, maxiter=400,
     )
     fh_cg_one = jax.jit(make_fh_fun(model, solve_free=solve2l))
