@@ -146,3 +146,37 @@ def test_two_level_mixed_precision(cooks_mesh):
     u_ref = make_solver(fine)(jnp.asarray(lam), jnp.asarray(mu))
     rel = np.linalg.norm(np.asarray(u2 - u_ref)) / np.linalg.norm(np.asarray(u_ref))
     assert rel < 1e-8, rel
+
+
+def test_2d_mesh_sample_by_element_sharding(cooks_mesh):
+    """Combined DP x DD on a (2, 4) mesh: samples over 'data', elements over
+    'dd', collectives compiler-inserted (parallel.mesh.make_2d_sharded_solver)
+    — exact vs the unsharded matrix-free solver."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.ops.element import lame_from_Ev
+    from vbicm_tpu.ops.solve import make_matfree_affine_solver
+    from vbicm_tpu.parallel.mesh import make_2d_sharded_solver
+
+    model = build_fem_model(cooks_mesh, dense=False)
+    mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "dd"))
+    solve_batch = make_2d_sharded_solver(model, mesh2d, tol=1e-12, maxiter=3000)
+
+    B = 4
+    rng = np.random.default_rng(0)
+    E = 20.0 * np.exp(0.1 * rng.standard_normal(B))
+    v = 0.3 + 0.01 * rng.standard_normal(B)
+    lam, mu = np.asarray(lame_from_Ev(jnp.asarray(E), jnp.asarray(v)))
+    cs = jnp.stack([jnp.asarray(lam), jnp.asarray(mu)], axis=1)
+
+    us = np.asarray(solve_batch(cs))
+
+    base = make_matfree_affine_solver(
+        jnp.stack([model.ke_lam, model.ke_mu]), model.lm, model.free_mask,
+        model.ndof, tol=1e-12, maxiter=3000,
+    )
+    f_masked = model.f_ext * model.free_mask
+    ref = np.stack([np.asarray(base(cs[i], f_masked)) for i in range(B)])
+    np.testing.assert_allclose(us, ref, rtol=1e-10, atol=1e-13)

@@ -57,3 +57,42 @@ def make_sharded_batch_fh(fh: Callable, mesh: Mesh, axis_name: str = "data"):
     in_s = NamedSharding(mesh, P(axis_name, None))
     out_s = (NamedSharding(mesh, P(axis_name, None)),) * 2
     return jax.jit(jax.vmap(fh), in_shardings=in_s, out_shardings=out_s)
+
+
+def make_2d_sharded_solver(model, mesh2d: Mesh, *, data_axis: str = "data",
+                           dd_axis: str = "dd", tol: float = 1e-12,
+                           maxiter: int = 4000):
+    """Combined sample x element parallelism on a 2-D device mesh.
+
+    The GSPMD formulation of SURVEY §2.5's two axes at once: the element
+    block tensors are sharded over ``dd_axis`` (domain decomposition — XLA
+    partitions the matvec einsum + segment_sum and inserts the reduction
+    collective), and the returned ``solve_batch(coeffs (B, P)) -> (B, ndof)``
+    expects/keeps the sample axis sharded over ``data_axis``. Unlike the
+    explicit shard_map solver (solve_sharded.py) this one composes with
+    ``vmap`` trivially because the collectives are compiler-inserted.
+    Verified exact vs the unsharded solver on a (2, 4) CPU mesh.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.solve import make_matfree_affine_solver
+
+    ke_parts = jax.device_put(
+        jnp.stack([model.ke_lam, model.ke_mu]),
+        NamedSharding(mesh2d, P(None, dd_axis)),
+    )
+    lm = jax.device_put(model.lm, NamedSharding(mesh2d, P(dd_axis)))
+    base = make_matfree_affine_solver(
+        ke_parts, lm, model.free_mask, model.ndof, tol=tol, maxiter=maxiter
+    )
+    f_masked = model.f_ext * model.free_mask
+
+    in_s = NamedSharding(mesh2d, P(data_axis, None))
+    solve_batch = jax.jit(
+        jax.vmap(lambda c: base(c, f_masked)), in_shardings=in_s
+    )
+
+    def solve(coeffs_batch):
+        return solve_batch(jax.device_put(coeffs_batch, in_s))
+
+    return solve
