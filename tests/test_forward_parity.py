@@ -373,3 +373,34 @@ def test_higher_order_parity_vs_reference_solver():
             np.testing.assert_allclose(
                 u[-8:], case["u_tail"], rtol=1e-9, atol=1e-13, err_msg=name
             )
+
+
+def test_body_force_consistent_load(cooks_mesh):
+    """Constant body force (reference part-card 'body', dormant there):
+    consistent nodal load integrates to exactly rho*g x volume, and a
+    gravity-loaded clamped membrane's reactions balance it."""
+    from vbicm_tpu.mesh import cooks_membrane_mesh_q9
+    from vbicm_tpu.config import SectionCard
+
+    by = -0.25
+    model = build_fem_model(cooks_mesh, body_force=(0.0, by))
+    m0 = build_fem_model(cooks_mesh)
+    fb = np.asarray(model.f_ext) - np.asarray(m0.f_ext)
+    # Cook's area = 48 * (44 + 16) / 2 = 1440; thk = 10
+    np.testing.assert_allclose(fb[1::2].sum(), by * 1440.0 * 10.0, rtol=1e-12)
+    np.testing.assert_allclose(fb[0::2].sum(), 0.0, atol=1e-10)
+
+    sol = fea_solution(model, MaterialCard())
+    ry = np.asarray(sol.reactions)[1::2].sum()
+    # reactions balance the loads applied at FREE dofs (body load landing
+    # directly on clamped nodes is carried by the support, not the solve)
+    f_free_y = np.asarray(model.f_ext)[np.asarray(model.free_dof)]
+    free_is_y = (np.asarray(model.free_dof) % 2) == 1
+    np.testing.assert_allclose(ry, -f_free_y[free_is_y].sum(), rtol=1e-9)
+
+    # higher-order family too (q9 consistent shape-function weights)
+    m9 = build_fem_model(cooks_membrane_mesh_q9(4, 2), SectionCard(intp=3),
+                         body_force=(0.0, by))
+    m9_0 = build_fem_model(cooks_membrane_mesh_q9(4, 2), SectionCard(intp=3))
+    fb9 = np.asarray(m9.f_ext) - np.asarray(m9_0.f_ext)
+    np.testing.assert_allclose(fb9[1::2].sum(), by * 1440.0 * 10.0, rtol=1e-12)

@@ -237,6 +237,7 @@ def build_fem_model(
     dense: Optional[bool] = None,
     dtype=jnp.float64,
     eq_groups=None,
+    body_force=None,
 ) -> FemModel:
     """Preprocess a mesh into the frozen FemModel pytree.
 
@@ -249,6 +250,11 @@ def build_fem_model(
     ``src/fem_preprocess.py:308-324``). The model's solver space is then the
     REDUCED dof space; ``model.dof_map`` gathers solver-space vectors back
     to the full node-dof layout.
+
+    ``body_force``: optional ``(bx, by)`` constant body-force density per
+    unit volume (reference part-card ``body``; its residual term
+    ``-dvol*(Nm^T body)``, ``src/mat_subroutine.py:113-122``) — added to
+    ``f_ext`` as the consistent nodal load.
     """
     if section.etype != 1 or mesh.max_ele_node not in (3, 4, 8, 9, 12, 16):
         raise NotImplementedError("unsupported element family")
@@ -267,13 +273,6 @@ def build_fem_model(
     ndof_full = ndof
     dof_map_np = np.arange(ndof, dtype=np.int32)
     has_constraints = bool(eq_groups)
-    if has_constraints:
-        lm, free_dof, supp_dof, prescribed, f_ext, dof_map_np, ndof = (
-            _apply_eq_constraints(
-                eq_groups, mesh.nnodes, lm, free_dof, supp_dof, prescribed, f_ext
-            )
-        )
-
     qpts, qwts = quadrature.quadr2d(section.intp, nel)
     if _native is not None and section.stype == 2 and nel == 4:
         B, dvol, ke_lam, ke_mu = _native.precompute_quad4(
@@ -330,6 +329,30 @@ def build_fem_model(
             C0, C1 = C_PS_B, C_PS_A
         ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C0, B, dvol, optimize=True)
         ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C1, B, dvol, optimize=True)
+
+    if body_force is not None and (body_force[0] != 0.0 or body_force[1] != 0.0):
+        # consistent body-force load: f[2i+d] += b_d * sum_q dvol[e,q] N_i(q)
+        # (reference residual term -dvol*(Nm^T body), src/mat_subroutine.py:113-122
+        # — dormant there: the shipped part card carries body = 0)
+        from .ops.shape import shape_natural
+
+        fn_n = shape_natural(nel)
+        Nq = np.asarray(
+            jax.vmap(lambda p: fn_n(p[0], p[1])[0])(jnp.asarray(qpts))
+        )  # (nqpt, nel)
+        w_node = np.einsum("eq,qi->ei", np.asarray(dvol), Nq)  # (nele, nel)
+        fb = np.zeros(ndof)
+        bx, by = float(body_force[0]), float(body_force[1])
+        np.add.at(fb, 2 * mesh.conn.reshape(-1), (w_node * bx).reshape(-1))
+        np.add.at(fb, 2 * mesh.conn.reshape(-1) + 1, (w_node * by).reshape(-1))
+        f_ext = f_ext + fb
+
+    if has_constraints:
+        lm, free_dof, supp_dof, prescribed, f_ext, dof_map_np, ndof = (
+            _apply_eq_constraints(
+                eq_groups, mesh.nnodes, lm, free_dof, supp_dof, prescribed, f_ext
+            )
+        )
 
     nfree = free_dof.shape[0]
     if dense is None:
