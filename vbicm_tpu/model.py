@@ -66,6 +66,10 @@ class FemModel:
     # dense affine parts on free dofs (None for matrix-free models)
     k_lam_ff: Optional[jax.Array]  # (nfree, nfree)
     k_mu_ff: Optional[jax.Array]
+    # consistent UNIT-DENSITY element mass blocks (reference dynamics card,
+    # me = dvol * Nm^T den Nm, src/mat_subroutine.py:74-75); None unless
+    # built with with_mass=True. Scale by density: M_e = rho * me_unit.
+    me_unit: Optional[jax.Array] = None  # (nele, edof, edof)
     # static metadata
     nnodes: int = struct.field(pytree_node=False, default=0)
     nele: int = struct.field(pytree_node=False, default=0)
@@ -238,6 +242,7 @@ def build_fem_model(
     dtype=jnp.float64,
     eq_groups=None,
     body_force=None,
+    with_mass: bool = False,
 ) -> FemModel:
     """Preprocess a mesh into the frozen FemModel pytree.
 
@@ -330,6 +335,19 @@ def build_fem_model(
         ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C0, B, dvol, optimize=True)
         ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C1, B, dvol, optimize=True)
 
+    me_unit = None
+    if with_mass:
+        # consistent unit-density mass: M_e[2i+d, 2j+d] = sum_q dvol N_i N_j
+        # (reference me = dvol * Nm^T den Nm, gated by its dynamics card)
+        from .ops.shape import shape_natural
+
+        fn_n = shape_natural(nel)
+        Nq = np.asarray(jax.vmap(lambda p: fn_n(p[0], p[1])[0])(jnp.asarray(qpts)))
+        m_nodes = np.einsum("eq,qi,qj->eij", np.asarray(dvol), Nq, Nq)  # (nele, nel, nel)
+        me_unit = np.zeros((mesh.nele, 2 * nel, 2 * nel))
+        me_unit[:, 0::2, 0::2] = m_nodes
+        me_unit[:, 1::2, 1::2] = m_nodes
+
     if body_force is not None and (body_force[0] != 0.0 or body_force[1] != 0.0):
         # consistent body-force load: f[2i+d] += b_d * sum_q dvol[e,q] N_i(q)
         # (reference residual term -dvol*(Nm^T body), src/mat_subroutine.py:113-122
@@ -412,6 +430,7 @@ def build_fem_model(
         ke_mu=as_dt(ke_mu),
         k_lam_ff=as_dt(k_lam_ff) if k_lam_ff is not None else None,
         k_mu_ff=as_dt(k_mu_ff) if k_mu_ff is not None else None,
+        me_unit=as_dt(me_unit) if me_unit is not None else None,
         nnodes=mesh.nnodes,
         nele=mesh.nele,
         ndof=ndof,
