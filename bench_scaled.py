@@ -109,5 +109,43 @@ def main():
     )
 
 
+def serving_metric():
+    """Amortized-inference serving throughput: y -> (posterior, predictive)
+    net evaluation, the deployment-time query path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import time, json
+
+    from vbicm_tpu.models.mlp import init_vi_networks
+
+    theta_net, tp, z_net, zp = init_vi_networks(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def predict(y):
+        tm, tsg, _ = theta_net.apply(tp, y)
+        zm, zs, _ = z_net.apply(zp, y)
+        return tm, tsg, zm, zs
+
+    B = 65536
+    y = jnp.asarray(np.random.default_rng(0).normal(size=(B, 2)))
+    out = predict(y)
+    jax.block_until_ready(out)
+    n = 50
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = predict(y)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "serving_queries_per_sec",
+        "value": round(B / dt, 0),
+        "unit": "queries/s",
+        "batch": B,
+    }))
+
+
+
 if __name__ == "__main__":
     main()
+    serving_metric()
