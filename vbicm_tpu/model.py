@@ -263,11 +263,11 @@ def build_fem_model(
     """
     if section.etype != 1 or mesh.max_ele_node not in (3, 4, 8, 9, 12, 16):
         raise NotImplementedError("unsupported element family")
-    if section.stype not in (1, 2):
+    if section.stype not in (1, 2, 3):
         raise NotImplementedError(
-            "plane strain (2) and plane stress (1) supported; axisymmetric "
-            "stypes are dormant in the reference too (its stype=3 driver is "
-            "an empty stub, src/mat_subroutine.py:300-302)"
+            "plane strain (2), plane stress (1) and axisymmetric-without-"
+            "torsion (3) supported; stype 4 (axisym + torsion) is dormant "
+            "in the reference (3-dof kinematics never wired to a mesh)"
         )
 
     nel = mesh.max_ele_node
@@ -279,7 +279,17 @@ def build_fem_model(
     dof_map_np = np.arange(ndof, dtype=np.int32)
     has_constraints = bool(eq_groups)
     qpts, qwts = quadrature.quadr2d(section.intp, nel)
-    if _native is not None and section.stype == 2 and nel == 4:
+    if section.stype == 3:
+        # axisymmetric (no torsion): 4-row B with the hoop N/r row,
+        # dvol = 2*pi*r*detJ*w (reference convention, src/mat_subroutine.py:
+        # 67-70; its stype-3 constitutive driver is an empty stub — this
+        # path completes the capability with the standard formulation)
+        from .ops.element import C_AX_LAM4, C_AX_MU4
+
+        B, dvol = _element_geometry_axisym(mesh.coords, mesh.conn, qpts, qwts)
+        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C_AX_LAM4, B, dvol, optimize=True)
+        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C_AX_MU4, B, dvol, optimize=True)
+    elif _native is not None and section.stype == 2 and nel == 4:
         B, dvol, ke_lam, ke_mu = _native.precompute_quad4(
             np.ascontiguousarray(mesh.coords),
             np.ascontiguousarray(mesh.conn, dtype=np.int32),
@@ -444,6 +454,49 @@ def build_fem_model(
         ndof_full=int(ndof_full),
         has_constraints=has_constraints,
     )
+
+
+def _element_geometry_axisym(coords, conn, qpts, qwts):
+    """Axisymmetric 4-row B (rows [e_rr, e_zz, e_hoop = N/r, g_rz]) and
+    dvol = 2*pi*r*detJ*w, any element family. Coordinates are (r, z);
+    r must be > 0 on all quadrature points."""
+    from .ops.shape import shape_natural
+
+    conn = np.asarray(conn)
+    nele, nel = conn.shape
+    nqpt = qpts.shape[0]
+    fn = shape_natural(nel)
+    Nq = np.asarray(jax.vmap(lambda p: fn(p[0], p[1])[0])(jnp.asarray(qpts)))
+    Dq = np.asarray(jax.vmap(lambda p: fn(p[0], p[1])[1])(jnp.asarray(qpts)))
+    xl = np.asarray(coords)[conn]  # (nele, nel, 2) = (r, z)
+
+    B = np.zeros((nele, nqpt, 4, 2 * nel))
+    dvol = np.zeros((nele, nqpt))
+    for q in range(nqpt):
+        dn_nat = Dq[q]  # (nel, 2)
+        J = np.einsum("na,enb->eab", dn_nat, xl)
+        detj = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+        inv_t = (
+            np.stack(
+                [
+                    np.stack([J[:, 1, 1], -J[:, 1, 0]], axis=-1),
+                    np.stack([-J[:, 0, 1], J[:, 0, 0]], axis=-1),
+                ],
+                axis=1,
+            )
+            / detj[:, None, None]
+        )
+        dn_glob = np.einsum("na,eab->enb", dn_nat, inv_t)  # (nele, nel, 2)
+        r_q = xl[:, :, 0] @ Nq[q]  # (nele,)
+        if (r_q <= 0.0).any():
+            raise ValueError("axisymmetric mesh must have r > 0 at all qpts")
+        B[:, q, 0, 0::2] = dn_glob[:, :, 0]
+        B[:, q, 1, 1::2] = dn_glob[:, :, 1]
+        B[:, q, 2, 0::2] = Nq[q][None, :] / r_q[:, None]
+        B[:, q, 3, 0::2] = dn_glob[:, :, 1]
+        B[:, q, 3, 1::2] = dn_glob[:, :, 0]
+        dvol[:, q] = 2.0 * np.pi * r_q * detj * qwts[q]
+    return B, dvol
 
 
 def element_geometry_generic(coords, conn, qpts, qwts, thk):

@@ -32,6 +32,24 @@ import numpy as np
 C_LAM3 = np.array([[1.0, 1.0, 0.0], [1.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
 C_MU3 = np.array([[2.0, 0.0, 0.0], [0.0, 2.0, 0.0], [0.0, 0.0, 1.0]])
 
+# Axisymmetric (stype 3, no torsion) affine basis acting on
+# [e_rr, e_zz, e_hoop, gamma_rz] (reference isotropic elasticity restricted
+# to the 4 axisym components; its stype-3 constitutive driver is an empty
+# stub, src/mat_subroutine.py:300-302 — this completes the capability):
+#   C4 = lam * C_AX_LAM4 + mu * C_AX_MU4
+C_AX_LAM4 = np.array([
+    [1.0, 1.0, 1.0, 0.0],
+    [1.0, 1.0, 1.0, 0.0],
+    [1.0, 1.0, 1.0, 0.0],
+    [0.0, 0.0, 0.0, 0.0],
+])
+C_AX_MU4 = np.array([
+    [2.0, 0.0, 0.0, 0.0],
+    [0.0, 2.0, 0.0, 0.0],
+    [0.0, 0.0, 2.0, 0.0],
+    [0.0, 0.0, 0.0, 1.0],
+])
+
 
 def lame_from_Ev(E, v):
     """Lame parameters (lam, mu) from Young's modulus / Poisson ratio."""
@@ -185,6 +203,8 @@ def material_coeffs(stype: int, E, v):
     if stype == 1:
         a = E / (1.0 - v**2)
         return v * a, a
+    if stype == 3:  # axisymmetric: Lame pair with parts (C_AX_LAM4, C_AX_MU4)
+        return lame_from_Ev(E, v)
     raise NotImplementedError(f"stype {stype}")
 
 
@@ -207,3 +227,15 @@ def eps33_plane_stress(eps3, v):
     """Out-of-plane strain under plane stress: e33 = -v/(1-v)*(e11+e22)
     (reference ``isotropic_elasticity`` stype=1, ``src/mat_subroutine.py:289``)."""
     return -v / (1.0 - v) * (eps3[..., 0] + eps3[..., 1])
+
+
+def stress6_axisym(eps4, lam, mu):
+    """Axisymmetric stress 6-vector [s_rr, s_zz, s_hoop, t_rz, 0, 0] from
+    the 4-strain [e_rr, e_zz, e_hoop, g_rz] (isotropic)."""
+    tr = eps4[..., 0] + eps4[..., 1] + eps4[..., 2]
+    s0 = lam * tr + 2.0 * mu * eps4[..., 0]
+    s1 = lam * tr + 2.0 * mu * eps4[..., 1]
+    s2 = lam * tr + 2.0 * mu * eps4[..., 2]
+    s3 = mu * eps4[..., 3]
+    zero = jnp.zeros_like(s0)
+    return jnp.stack([s0, s1, s2, s3, zero, zero], axis=-1)

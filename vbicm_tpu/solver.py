@@ -183,6 +183,10 @@ def _prescribed_full(model: FemModel):
 def _stress6(model: FemModel, eps3, c0, c1):
     if model.stype == 2:
         return stress6_plane_strain(eps3, c0, c1)
+    if model.stype == 3:
+        from .ops.element import stress6_axisym
+
+        return stress6_axisym(eps3, c0, c1)
     return stress6_plane_stress(eps3, c0, c1)
 
 
@@ -195,10 +199,17 @@ def recover_fields(model: FemModel, u, c0, c1) -> Tuple[jax.Array, jax.Array]:
     stores e33 = 0 but s33 = lam*(e11+e22); plane stress stores s33 = 0 but
     e33 = -v/(1-v)*(e11+e22) (``src/mat_subroutine.py:51-52,289``).
     """
-    ue = u[model.lm]  # (nele, 8)
-    eps3 = jnp.einsum("eqai,ei->eqa", model.B, ue)  # (nele, nqpt, 3)
+    ue = u[model.lm]  # (nele, edof)
+    eps3 = jnp.einsum("eqai,ei->eqa", model.B, ue)  # (nele, nqpt, 3 or 4)
     sig6 = _stress6(model, eps3, c0, c1)
     zero = jnp.zeros_like(eps3[..., 0])
+    if model.stype == 3:
+        # axisym strain rows are [e_rr, e_zz, e_hoop, g_rz] already
+        eps6 = jnp.stack(
+            [eps3[..., 0], eps3[..., 1], eps3[..., 2], eps3[..., 3], zero, zero],
+            axis=-1,
+        )
+        return eps6, sig6
     if model.stype == 1:
         e33 = eps33_plane_stress(eps3, c0 / c1)  # v = b/a
     else:
