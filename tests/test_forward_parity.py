@@ -404,3 +404,28 @@ def test_body_force_consistent_load(cooks_mesh):
     m9_0 = build_fem_model(cooks_membrane_mesh_q9(4, 2), SectionCard(intp=3))
     fb9 = np.asarray(m9.f_ext) - np.asarray(m9_0.f_ext)
     np.testing.assert_allclose(fb9[1::2].sum(), by * 1440.0 * 10.0, rtol=1e-12)
+
+
+def test_tri3_end_to_end():
+    """3-node triangles (reference shp2d nel=3 collapsed-quad path —
+    which CRASHES in the reference: its shp buffer is sized (3, nel) but
+    the corner loop writes 4 columns, DIVERGENCES #15): load balance +
+    first-order h-convergence toward the refined-q4 answer."""
+    from vbicm_tpu.config import SectionCard
+    from vbicm_tpu.mesh import cooks_membrane_mesh, cooks_membrane_mesh_tri3
+
+    fine = build_fem_model(cooks_membrane_mesh(64, 32), dense=True)
+    uy_ref = float(np.asarray(fea_solution(fine, MaterialCard()).u)[-1])
+
+    errs = []
+    for nx, ny in ((10, 5), (20, 10), (40, 20)):
+        m = build_fem_model(cooks_membrane_mesh_tri3(nx, ny), SectionCard(intp=2))
+        sol = fea_solution(m, MaterialCard())
+        np.testing.assert_allclose(
+            np.asarray(sol.reactions)[1::2].sum(), -50.0, atol=1e-8
+        )
+        errs.append(abs(float(np.asarray(sol.u)[-1]) - uy_ref) / abs(uy_ref))
+    # measured: 34% -> 14% -> 4.5% (constant-strain triangles are stiff in
+    # bending; convergence is what validates the element)
+    assert errs[2] < errs[1] < errs[0], errs
+    assert errs[2] < 0.06, errs

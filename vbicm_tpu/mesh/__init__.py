@@ -5,6 +5,7 @@ from .cooks import (
     cooks_membrane_mesh_q9,
     cooks_membrane_mesh_q12,
     cooks_membrane_mesh_q16,
+    cooks_membrane_mesh_tri3,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "cooks_membrane_mesh_q9",
     "cooks_membrane_mesh_q12",
     "cooks_membrane_mesh_q16",
+    "cooks_membrane_mesh_tri3",
 ]

@@ -321,3 +321,27 @@ def cooks_membrane_mesh_q8(nx: int = 10, ny: int = 5) -> MeshData:
         max_node_dof=2,
         max_ele_node=8,
     )
+
+
+def cooks_membrane_mesh_tri3(nx: int = 20, ny: int = 10) -> MeshData:
+    """3-node triangle Cook's mesh: each quad of the q4 grid split along its
+    (n0, n2) diagonal, CCW node ordering (reference ``shp2d`` nel=3 path,
+    collapsed-quad formulation, src/fem_preprocess.py:888-890)."""
+    q = cooks_membrane_mesh(nx, ny)
+    tris = []
+    for n0, n1, n2, n3 in q.conn:
+        tris.append((n0, n1, n2))
+        tris.append((n0, n2, n3))
+    return MeshData(
+        coords=q.coords,
+        conn=np.asarray(tris, dtype=np.int32),
+        bc_nodes=q.bc_nodes,
+        bc_flags=q.bc_flags,
+        load_nodes=q.load_nodes,
+        load_vals=q.load_vals,
+        disp_nodes=q.disp_nodes,
+        disp_vals=q.disp_vals,
+        space_dim=2,
+        max_node_dof=2,
+        max_ele_node=3,
+    )

@@ -74,6 +74,13 @@ def make_potential(model, f_ext=None) -> Callable:
     mask = model.free_mask
     f = model.f_ext * model.free_mask if f_ext is None else f_ext
 
+    if getattr(model, "stype", 2) != 2:
+        raise NotImplementedError(
+            "the power-law energy density is written for plane strain "
+            "(e33 = 0 deviatoric split); stype 1/3 would misread the "
+            "strain rows"
+        )
+
     def potential(u, mat: PowerLawMaterial):
         um = u * mask
         eps3 = jnp.einsum("eqai,ei->eqa", B, um[lm])
