@@ -429,3 +429,18 @@ def test_tri3_end_to_end():
     # bending; convergence is what validates the element)
     assert errs[2] < errs[1] < errs[0], errs
     assert errs[2] < 0.06, errs
+
+
+def test_element_strain_energy(cooks_model):
+    """Per-element strain energy (reference strain_energy_flag output):
+    sums to the external work 0.5 f^T u, all entries nonnegative."""
+    from vbicm_tpu.ops.element import lame_from_Ev
+    from vbicm_tpu.solver import element_strain_energy
+
+    lam, mu = lame_from_Ev(20.0, 0.3)
+    sol = fea_solution(cooks_model, MaterialCard(E=20.0, v=0.3))
+    se = np.asarray(element_strain_energy(cooks_model, sol.u, lam, mu))
+    assert se.shape == (cooks_model.nele,)
+    assert (se >= -1e-12).all()
+    work = 0.5 * float(jnp.vdot(cooks_model.f_ext, sol.u))
+    np.testing.assert_allclose(se.sum(), work, rtol=1e-10)

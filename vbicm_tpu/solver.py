@@ -407,3 +407,14 @@ def make_two_level_solver(
         return base(jnp.stack([c0, c1]), f_masked)
 
     return solve_free
+
+
+def element_strain_energy(model: FemModel, u, c0, c1) -> jax.Array:
+    """Per-element strain energy 0.5 u_e^T k_e(c) u_e (reference
+    ``strain_energy_flag`` output, src/fem_solver.py:231-233). Returns
+    (nele,); sums to 0.5 f^T u for a linear force-controlled problem."""
+    ue = u[model.lm]
+    ke_ue = c0 * jnp.einsum("eij,ej->ei", model.ke_lam, ue) + c1 * jnp.einsum(
+        "eij,ej->ei", model.ke_mu, ue
+    )
+    return 0.5 * jnp.einsum("ei,ei->e", ue, ke_ue)
