@@ -79,3 +79,28 @@ def test_vmap_over_materials(small_model):
     us = jax.vmap(solver)(lams, mus)
     ref = jnp.stack([solver(lams[i], mus[i]) for i in range(3)])
     np.testing.assert_allclose(np.asarray(us), np.asarray(ref), rtol=1e-7, atol=1e-10)
+
+
+def test_load_stepping_tracks_softening_path(small_model):
+    """m=0.5, g0=0.02 saturates (limit load ~55% of the applied force):
+    cold full-load Newton diverges — correctly, no equilibrium exists there
+    — while warm-started load stepping (the reference's numsteps/
+    load_factor card semantics) tracks the equilibrium path to 50% load,
+    far beyond the linear response."""
+    from vbicm_tpu.ops.nonlinear import solve_nonlinear_stepped
+
+    res_cold = solve_nonlinear(
+        small_model, jnp.asarray(LAM), jnp.asarray(MU), m=0.5, g0=0.02
+    )
+    assert not bool(res_cold.converged)  # beyond the limit load
+
+    res = solve_nonlinear_stepped(
+        small_model, jnp.asarray(LAM), jnp.asarray(MU), m=0.5, g0=0.02,
+        n_steps=8, load_factor=0.5, tol_cr=1e-12,
+    )
+    assert bool(res.converged), (int(res.iterations), float(res.tol))
+    uy = float(res.u[-1])
+    u_lin = float(fea_solution(small_model, MaterialCard(E=20.0, v=0.3)).u[-1])
+    # at half load the linear answer is u_lin/2; the softened path is ~3x it
+    assert uy > 1.5 * u_lin / 2.0, (uy, u_lin)
+    assert np.isfinite(np.asarray(res.u)).all()

@@ -216,3 +216,56 @@ def solve_nonlinear(model, lam, mu, **kw) -> NewtonResult:
         tol_cr=kw.get("tol_cr", 1e-12), max_iter=kw.get("max_iter", 25),
         backtrack=kw.get("backtrack", 8),
     )
+
+
+def solve_nonlinear_stepped(model, lam, mu, *, n_steps: int = 5,
+                            load_factor: float = 1.0, **kw) -> NewtonResult:
+    """Incremental load stepping (the reference's ``numsteps``/``load_factor``
+    cards, ``model_property_cards.py:39-48``): the external load ramps to
+    ``load_factor`` of f_ext in ``n_steps`` increments, each solved by
+    warm-started Newton — the standard way to track strongly softening
+    equilibrium paths (a cold full-load Newton jumps far outside the basin).
+    NOTE: a saturating secant (m <= 0.5) has a LIMIT LOAD; beyond it no
+    equilibrium exists and the last increment reports converged=False —
+    that is the physics, use the returned flag."""
+    g0 = kw.get("g0", 0.05)
+    m = kw.get("m", 1.0)
+    mask = model.free_mask
+    mat = PowerLawMaterial(lam=lam, mu=mu, g0=g0, m=m)
+    from .assembly import make_sorted_scatter
+
+    scatter = make_sorted_scatter(jnp.asarray(model.lm), model.ndof)
+    ke = lam * model.ke_lam + mu * model.ke_mu
+    d = scatter(jnp.diagonal(ke, axis1=-2, axis2=-1))
+    d = jnp.where(mask > 0, jnp.where(d == 0, 1.0, d), 1.0)
+    minv = 1.0 / d
+
+    u = jnp.zeros((model.ndof,), model.dtype)
+    res = None
+    for k in range(1, n_steps + 1):
+        factor = load_factor * k / n_steps
+        potential = make_potential(model, f_ext=factor * model.f_ext * mask)
+        grad_u = jax.grad(potential, argnums=0)
+
+        def residual(x):
+            return grad_u(x, mat) * mask
+
+        def tangent_solve(x, r):
+            def hvp(v):
+                vm = v * mask
+                _, hv = jax.jvp(residual, (x,), (vm,))
+                return hv * mask + v * (1.0 - mask)
+
+            du, _, _ = pcg(hvp, -r * mask, minv,
+                           tol=kw.get("cg_tol", 1e-12),
+                           maxiter=kw.get("cg_maxiter", 4000))
+            return du * mask
+
+        res = newton_raphson(
+            residual, tangent_solve, u,
+            tol_cr=kw.get("tol_cr", 1e-12),
+            max_iter=kw.get("max_iter", 25),
+            backtrack=kw.get("backtrack", 8),
+        )
+        u = res.u
+    return res
