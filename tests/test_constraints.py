@@ -125,3 +125,76 @@ def test_constrained_matfree_solver(tied_model):
     u_d = np.asarray(make_solver(model_d)(*material_coeffs(2, 20.0, 0.3)))
     u_mf = np.asarray(make_solver(model_mf, cg_tol=1e-13)(*material_coeffs(2, 20.0, 0.3)))
     np.testing.assert_allclose(u_mf, u_d, rtol=1e-8, atol=1e-11)
+
+
+def test_combined_prescribed_constraints_body_force():
+    """All three BC/load features at once — prescribed displacements,
+    equality constraints, body force — against a single scipy oracle built
+    from first principles (T^T K T reduction + Dirichlet lift)."""
+    import dataclasses
+
+    import scipy.linalg
+
+    mesh0 = cooks_membrane_mesh(6, 3)
+    nn = mesh0.nnodes  # 7x4 grid = 28
+    # prescribe the right edge, tie two interior nodes in y
+    right = (np.arange(4, dtype=np.int32) * 7) + 6
+    mesh = dataclasses.replace(
+        mesh0,
+        disp_nodes=right,
+        disp_vals=np.tile(np.array([[0.02, 0.08]]), (4, 1)),
+    )
+    groups = [[(9, 1), (10, 1)]]
+    bf = (0.0, -0.1)
+    model = build_fem_model(mesh, eq_groups=groups, body_force=bf)
+
+    # oracle on the unconstrained full system
+    model_f = build_fem_model(mesh, body_force=bf)  # full space w/ lift data
+    lam, mu = material_coeffs(2, 20.0, 0.3)
+    ndof = model_f.ndof_full
+    K = np.zeros((ndof, ndof))
+    lm = np.asarray(model_f.lm)
+    ke = lam * np.asarray(model_f.ke_lam) + mu * np.asarray(model_f.ke_mu)
+    for e in range(lm.shape[0]):
+        K[np.ix_(lm[e], lm[e])] += ke[e]
+    f = np.asarray(model_f.f_ext)  # includes the body load
+    fixed = np.zeros(ndof, dtype=bool)
+    fixed[np.asarray(model_f.supp_dof)] = True
+    pres = np.zeros(ndof)
+    pres[np.asarray(model_f.supp_dof)] = np.asarray(model_f.u_supp)
+
+    # constraint basis
+    group_of = -np.ones(ndof, dtype=int)
+    for k, g in enumerate(groups):
+        for node, d in g:
+            group_of[2 * node + d] = k
+    uncon = np.nonzero(group_of == -1)[0]
+    nred = uncon.size + len(groups)
+    T = np.zeros((ndof, nred))
+    for i, d in enumerate(uncon):
+        T[d, i] = 1.0
+    for k, g in enumerate(groups):
+        for node, d in g:
+            T[2 * node + d, uncon.size + k] = 1.0
+
+    Kr = T.T @ K @ T
+    fr = T.T @ f
+    fixed_r = (T.T @ fixed.astype(float)) > 0
+    # prescribed values carried into reduced space (max per group)
+    ur_s = np.zeros(nred)
+    for d in range(ndof):
+        j = np.nonzero(T[d])[0][0]
+        if fixed[d] and pres[d] != 0.0:
+            ur_s[j] = pres[d]
+    free = np.nonzero(~fixed_r)[0]
+    supp = np.nonzero(fixed_r)[0]
+    q = np.zeros(nred)
+    q[supp] = ur_s[supp]
+    q[free] = scipy.linalg.solve(
+        Kr[np.ix_(free, free)], fr[free] - Kr[np.ix_(free, supp)] @ ur_s[supp]
+    )
+    u_full_oracle = T @ q
+
+    sol = fea_solution(model, MaterialCard(E=20.0, v=0.3))
+    u_full = np.asarray(expand_dofs(model, sol.u))
+    np.testing.assert_allclose(u_full, u_full_oracle, rtol=1e-9, atol=1e-12)
