@@ -104,3 +104,32 @@ def test_load_stepping_tracks_softening_path(small_model):
     # at half load the linear answer is u_lin/2; the softened path is ~3x it
     assert uy > 1.5 * u_lin / 2.0, (uy, u_lin)
     assert np.isfinite(np.asarray(res.u)).all()
+
+
+def test_arclength_traces_limit_load_path(small_model):
+    """Cylindrical arc-length continuation (reference arclen card — cards
+    only, no implementation there): traces the saturating-secant softening
+    path toward its limit load with every increment converged; cross-
+    validated against warm-started load stepping at a matching load factor."""
+    from vbicm_tpu.ops.arclength import trace_arclength
+    from vbicm_tpu.ops.nonlinear import solve_nonlinear_stepped
+
+    path = trace_arclength(small_model, jnp.asarray(LAM), jnp.asarray(MU),
+                           m=0.5, g0=0.02, dl=2.0, n_steps=10, t0_step=0.1)
+    assert path.converged.all(), path.converged
+    t = path.t
+    uy = path.u[:, -1]
+    # monotone load and displacement, decelerating load (softening)
+    assert (np.diff(t) > 0).all() and (np.diff(uy) > 0).all()
+    dt_duy = np.diff(t) / np.diff(uy)
+    assert (np.diff(dt_duy) < 0).all(), dt_duy  # concave path
+    assert t[-1] < 0.60  # below/approaching the ~0.55 limit load
+
+    # cross-validate one point against load stepping
+    k = 6
+    res = solve_nonlinear_stepped(
+        small_model, jnp.asarray(LAM), jnp.asarray(MU), m=0.5, g0=0.02,
+        n_steps=8, load_factor=float(t[k]), tol_cr=1e-14,
+    )
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.u), path.u[k], rtol=1e-6, atol=1e-9)
