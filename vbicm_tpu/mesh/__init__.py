@@ -1,4 +1,5 @@
 from .feap import MeshData, read_feap_mesh, write_feap_mesh
+from .solid3d import beam_hex8_mesh, cube_hex8_mesh
 from .cooks import (
     cooks_membrane_mesh,
     cooks_membrane_mesh_q8,
@@ -18,4 +19,6 @@ __all__ = [
     "cooks_membrane_mesh_q12",
     "cooks_membrane_mesh_q16",
     "cooks_membrane_mesh_tri3",
+    "beam_hex8_mesh",
+    "cube_hex8_mesh",
 ]

@@ -78,6 +78,8 @@ class FemModel:
     nqpt: int = struct.field(pytree_node=False, default=0)
     thk: float = struct.field(pytree_node=False, default=10.0)
     stype: int = struct.field(pytree_node=False, default=2)
+    # dofs per node: 2 for plane/axisym problems, 3 for 3-D solids
+    ndm: int = struct.field(pytree_node=False, default=2)
     dense: bool = struct.field(pytree_node=False, default=True)
     has_prescribed: bool = struct.field(pytree_node=False, default=False)
     # equality (multi-point) constraints: full node-dof space -> solver
@@ -93,28 +95,28 @@ class FemModel:
         return self.coords.dtype
 
 
-def _dof_maps(mesh: MeshData):
-    """ID/LM/free/supported dof index arrays, 0-based interleaved."""
+def _dof_maps(mesh: MeshData, ndm: int = 2):
+    """ID/LM/free/supported dof index arrays, 0-based interleaved.
+
+    ``ndm`` = dofs per node (2 for plane problems, 3 for solids)."""
     nnodes = mesh.nnodes
-    ndof = nnodes * 2
-    lm = np.empty((mesh.nele, 2 * mesh.max_ele_node), dtype=np.int32)
-    lm[:, 0::2] = mesh.conn * 2
-    lm[:, 1::2] = mesh.conn * 2 + 1
+    ndof = nnodes * ndm
+    lm = np.empty((mesh.nele, ndm * mesh.max_ele_node), dtype=np.int32)
+    for d in range(ndm):
+        lm[:, d::ndm] = mesh.conn * ndm + d
 
     fixed = np.zeros(ndof, dtype=bool)
     for node, flags in zip(mesh.bc_nodes, mesh.bc_flags):
-        if flags[0]:
-            fixed[2 * node] = True
-        if flags[1]:
-            fixed[2 * node + 1] = True
+        for d in range(ndm):
+            if flags[d]:
+                fixed[ndm * node + d] = True
     # prescribed displacements also mark dofs as supported
     # (reference merges DISPlacement rows into the support table,
     #  src/fem_preprocess.py:252-262)
     for node, vals in zip(mesh.disp_nodes, mesh.disp_vals):
-        if vals[0] != 0.0:
-            fixed[2 * node] = True
-        if vals[1] != 0.0:
-            fixed[2 * node + 1] = True
+        for d in range(ndm):
+            if vals[d] != 0.0:
+                fixed[ndm * node + d] = True
 
     supp_dof = np.nonzero(fixed)[0].astype(np.int32)
     free_dof = np.nonzero(~fixed)[0].astype(np.int32)
@@ -125,22 +127,21 @@ def _dof_maps(mesh: MeshData):
     # supported above; zero-value rows only stick on BOUNdary-fixed dofs)
     prescribed = np.zeros(ndof, dtype=np.float64)
     for node, vals in zip(mesh.disp_nodes, mesh.disp_vals):
-        if fixed[2 * node]:
-            prescribed[2 * node] = vals[0]
-        if fixed[2 * node + 1]:
-            prescribed[2 * node + 1] = vals[1]
+        for d in range(ndm):
+            if fixed[ndm * node + d]:
+                prescribed[ndm * node + d] = vals[d]
     return lm, free_dof, supp_dof, prescribed
 
 
-def _load_vector(mesh: MeshData, ndof: int):
+def _load_vector(mesh: MeshData, ndof: int, ndm: int = 2):
     f = np.zeros(ndof, dtype=np.float64)
     for node, vals in zip(mesh.load_nodes, mesh.load_vals):
-        f[2 * node] += vals[0]
-        f[2 * node + 1] += vals[1]
+        for d in range(ndm):
+            f[ndm * node + d] += vals[d]
     return f
 
 
-def _apply_eq_constraints(eq_groups, nnodes, lm, free_dof, supp_dof, prescribed, f_ext):
+def _apply_eq_constraints(eq_groups, nnodes, lm, free_dof, supp_dof, prescribed, f_ext, ndm: int = 2):
     """Equality (multi-point) constraints via master-dof renumbering.
 
     Mirrors the reference's eqcgroup semantics (``src/fem_preprocess.py:
@@ -151,14 +152,14 @@ def _apply_eq_constraints(eq_groups, nnodes, lm, free_dof, supp_dof, prescribed,
     (lm, free_dof, supp_dof, prescribed, f_ext, dof_map, ndof_red):
     loads accumulate into the shared dof; a group is fixed/prescribed if
     ANY member is (values must agree)."""
-    ndof_full = nnodes * 2
+    ndof_full = nnodes * ndm
     fixed = np.zeros(ndof_full, dtype=bool)
     fixed[supp_dof] = True
 
     group_of = -np.ones(ndof_full, dtype=np.int64)
     for k, group in enumerate(eq_groups):
         for node, direction in group:
-            d = 2 * node + direction
+            d = ndm * node + direction
             if group_of[d] != -1:
                 raise ValueError(f"dof (node {node}, dir {direction}) appears in two groups")
             group_of[d] = k
@@ -261,25 +262,47 @@ def build_fem_model(
     ``-dvol*(Nm^T body)``, ``src/mat_subroutine.py:113-122``) — added to
     ``f_ext`` as the consistent nodal load.
     """
-    if section.etype != 1 or mesh.max_ele_node not in (3, 4, 8, 9, 12, 16):
-        raise NotImplementedError("unsupported element family")
-    if section.stype not in (1, 2, 3):
-        raise NotImplementedError(
-            "plane strain (2), plane stress (1) and axisymmetric-without-"
-            "torsion (3) supported; stype 4 (axisym + torsion) is dormant "
-            "in the reference (3-dof kinematics never wired to a mesh)"
-        )
+    is3d = mesh.max_node_dof == 3 or mesh.space_dim == 3
+    if is3d:
+        if mesh.max_ele_node != 8 or mesh.space_dim != 3 or mesh.max_node_dof != 3:
+            raise NotImplementedError(
+                "3-D solids: 8-node hexahedra with 3 dofs/node only"
+            )
+        if section.stype != 4:
+            raise ValueError(
+                "3-D solid meshes take stype=4 (the reference's full 3-D "
+                "isotropic_elasticity branch, src/mat_subroutine.py:303-311)"
+            )
+    else:
+        if section.etype != 1 or mesh.max_ele_node not in (3, 4, 8, 9, 12, 16):
+            raise NotImplementedError("unsupported element family")
+        if section.stype not in (1, 2, 3):
+            raise NotImplementedError(
+                "plane strain (2), plane stress (1) and axisymmetric-without-"
+                "torsion (3) supported in 2-D; stype 4 is the 3-D solid path "
+                "(hex meshes)"
+            )
 
+    ndm = 3 if is3d else 2
     nel = mesh.max_ele_node
-    lm, free_dof, supp_dof, prescribed = _dof_maps(mesh)
-    ndof = mesh.nnodes * 2
-    f_ext = _load_vector(mesh, ndof)
+    lm, free_dof, supp_dof, prescribed = _dof_maps(mesh, ndm)
+    ndof = mesh.nnodes * ndm
+    f_ext = _load_vector(mesh, ndof, ndm)
 
     ndof_full = ndof
     dof_map_np = np.arange(ndof, dtype=np.int32)
     has_constraints = bool(eq_groups)
-    qpts, qwts = quadrature.quadr2d(section.intp, nel)
-    if section.stype == 3:
+    if is3d:
+        qpts, qwts = quadrature.int3d(min(5, max(1, section.intp)))
+    else:
+        qpts, qwts = quadrature.quadr2d(section.intp, nel)
+    if is3d:
+        from .ops.element import C_LAM6, C_MU6
+
+        B, dvol = _element_geometry_3d(mesh.coords, mesh.conn, qpts, qwts)
+        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C_LAM6, B, dvol, optimize=True)
+        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C_MU6, B, dvol, optimize=True)
+    elif section.stype == 3:
         # axisymmetric (no torsion): 4-row B with the hoop N/r row,
         # dvol = 2*pi*r*detJ*w (reference convention, src/mat_subroutine.py:
         # 67-70; its stype-3 constitutive driver is an empty stub — this
@@ -345,40 +368,46 @@ def build_fem_model(
         ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C0, B, dvol, optimize=True)
         ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C1, B, dvol, optimize=True)
 
+    def _shape_values_at_qpts():
+        from .ops.shape import shape_natural, shape_natural_3d
+
+        if is3d:
+            fn_n = shape_natural_3d(nel)
+            return np.asarray(
+                jax.vmap(lambda p: fn_n(p[0], p[1], p[2])[0])(jnp.asarray(qpts))
+            )  # (nqpt, nel)
+        fn_n = shape_natural(nel)
+        return np.asarray(jax.vmap(lambda p: fn_n(p[0], p[1])[0])(jnp.asarray(qpts)))
+
     me_unit = None
     if with_mass:
-        # consistent unit-density mass: M_e[2i+d, 2j+d] = sum_q dvol N_i N_j
+        # consistent unit-density mass: M_e[ndm*i+d, ndm*j+d] = sum_q dvol N_i N_j
         # (reference me = dvol * Nm^T den Nm, gated by its dynamics card)
-        from .ops.shape import shape_natural
-
-        fn_n = shape_natural(nel)
-        Nq = np.asarray(jax.vmap(lambda p: fn_n(p[0], p[1])[0])(jnp.asarray(qpts)))
+        Nq = _shape_values_at_qpts()
         m_nodes = np.einsum("eq,qi,qj->eij", np.asarray(dvol), Nq, Nq)  # (nele, nel, nel)
-        me_unit = np.zeros((mesh.nele, 2 * nel, 2 * nel))
-        me_unit[:, 0::2, 0::2] = m_nodes
-        me_unit[:, 1::2, 1::2] = m_nodes
+        me_unit = np.zeros((mesh.nele, ndm * nel, ndm * nel))
+        for d in range(ndm):
+            me_unit[:, d::ndm, d::ndm] = m_nodes
 
-    if body_force is not None and (body_force[0] != 0.0 or body_force[1] != 0.0):
-        # consistent body-force load: f[2i+d] += b_d * sum_q dvol[e,q] N_i(q)
+    if body_force is not None and any(float(b) != 0.0 for b in body_force):
+        # consistent body-force load: f[ndm*i+d] += b_d * sum_q dvol[e,q] N_i(q)
         # (reference residual term -dvol*(Nm^T body), src/mat_subroutine.py:113-122
         # — dormant there: the shipped part card carries body = 0)
-        from .ops.shape import shape_natural
-
-        fn_n = shape_natural(nel)
-        Nq = np.asarray(
-            jax.vmap(lambda p: fn_n(p[0], p[1])[0])(jnp.asarray(qpts))
-        )  # (nqpt, nel)
+        Nq = _shape_values_at_qpts()  # (nqpt, nel)
         w_node = np.einsum("eq,qi->ei", np.asarray(dvol), Nq)  # (nele, nel)
         fb = np.zeros(ndof)
-        bx, by = float(body_force[0]), float(body_force[1])
-        np.add.at(fb, 2 * mesh.conn.reshape(-1), (w_node * bx).reshape(-1))
-        np.add.at(fb, 2 * mesh.conn.reshape(-1) + 1, (w_node * by).reshape(-1))
+        for d in range(ndm):
+            np.add.at(
+                fb,
+                ndm * mesh.conn.reshape(-1) + d,
+                (w_node * float(body_force[d])).reshape(-1),
+            )
         f_ext = f_ext + fb
 
     if has_constraints:
         lm, free_dof, supp_dof, prescribed, f_ext, dof_map_np, ndof = (
             _apply_eq_constraints(
-                eq_groups, mesh.nnodes, lm, free_dof, supp_dof, prescribed, f_ext
+                eq_groups, mesh.nnodes, lm, free_dof, supp_dof, prescribed, f_ext, ndm
             )
         )
 
@@ -448,12 +477,49 @@ def build_fem_model(
         nqpt=int(qpts.shape[0]),
         thk=float(section.thk),
         stype=section.stype,
+        ndm=ndm,
         dense=bool(dense),
         has_prescribed=has_prescribed,
         dof_map=jnp.asarray(dof_map_np),
         ndof_full=int(ndof_full),
         has_constraints=has_constraints,
     )
+
+
+def _element_geometry_3d(coords, conn, qpts, qwts):
+    """3-D solid B-matrix / dvol precompute: B (nele, nqpt, 6, 3*nel) with
+    strain rows [e11, e22, e33, g12, g23, g31], dvol = detJ * w."""
+    from .ops.shape import shape_natural_3d
+
+    conn = np.asarray(conn)
+    nele, nel = conn.shape
+    nqpt = qpts.shape[0]
+    fn = shape_natural_3d(nel)
+    xl = np.asarray(coords)[conn]  # (nele, nel, 3)
+
+    B = np.zeros((nele, nqpt, 6, 3 * nel))
+    dvol = np.zeros((nele, nqpt))
+    for q in range(nqpt):
+        _, dn_nat_j = fn(float(qpts[q, 0]), float(qpts[q, 1]), float(qpts[q, 2]))
+        dn_nat = np.asarray(dn_nat_j)  # (nel, 3)
+        J = np.einsum("na,enb->eab", dn_nat, xl)  # (nele, 3, 3)
+        detj = np.linalg.det(J)
+        if (detj <= 0.0).any():
+            raise ValueError("non-positive Jacobian in a hex element")
+        invJ = np.linalg.inv(J)
+        # dn_nat = dn_glob @ J^T  =>  dn_glob[n, b] = sum_a dn_nat[n, a] * invJ[b, a]
+        dn_glob = np.einsum("na,eba->enb", dn_nat, invJ)  # (nele, nel, 3)
+        B[:, q, 0, 0::3] = dn_glob[:, :, 0]
+        B[:, q, 1, 1::3] = dn_glob[:, :, 1]
+        B[:, q, 2, 2::3] = dn_glob[:, :, 2]
+        B[:, q, 3, 0::3] = dn_glob[:, :, 1]
+        B[:, q, 3, 1::3] = dn_glob[:, :, 0]
+        B[:, q, 4, 1::3] = dn_glob[:, :, 2]
+        B[:, q, 4, 2::3] = dn_glob[:, :, 1]
+        B[:, q, 5, 0::3] = dn_glob[:, :, 2]
+        B[:, q, 5, 2::3] = dn_glob[:, :, 0]
+        dvol[:, q] = detj * qwts[q]
+    return B, dvol
 
 
 def _element_geometry_axisym(coords, conn, qpts, qwts):

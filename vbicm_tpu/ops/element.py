@@ -149,6 +149,52 @@ def elasticity_C6(E, v):
     return lam * cl + mu * cm
 
 
+# Full 3-D affine constitutive basis, Voigt order
+# [e11, e22, e33, g12, g23, g31] (engineering shears):
+#   C6(E, v) = lam * C_LAM6 + mu * C_MU6  (same split as elasticity_C6)
+C_LAM6 = np.zeros((6, 6))
+C_LAM6[:3, :3] = 1.0
+C_MU6 = np.diag([2.0, 2.0, 2.0, 1.0, 1.0, 1.0])
+
+
+def bmatrix_3d(dn_glob):
+    """3-D strain-displacement matrix for one quadrature point.
+
+    dn_glob: (nel, 3) global shape gradients. Returns B (6, 3*nel), strain
+    rows [e11, e22, e33, g12, g23, g31], dof ordering interleaved
+    [u1x, u1y, u1z, u2x, ...] (the 3-D extension of the reference's
+    ``calculate_Bm_Nm`` layout, ``src/mat_subroutine.py:125-137``).
+    """
+    nel = dn_glob.shape[0]
+    b = jnp.zeros((6, 3 * nel), dtype=dn_glob.dtype)
+    cx = jnp.arange(nel) * 3
+    cy = cx + 1
+    cz = cx + 2
+    b = b.at[0, cx].set(dn_glob[:, 0])
+    b = b.at[1, cy].set(dn_glob[:, 1])
+    b = b.at[2, cz].set(dn_glob[:, 2])
+    b = b.at[3, cx].set(dn_glob[:, 1])
+    b = b.at[3, cy].set(dn_glob[:, 0])
+    b = b.at[4, cy].set(dn_glob[:, 2])
+    b = b.at[4, cz].set(dn_glob[:, 1])
+    b = b.at[5, cx].set(dn_glob[:, 2])
+    b = b.at[5, cz].set(dn_glob[:, 0])
+    return b
+
+
+def stress6_3d(eps6, lam, mu):
+    """Full 3-D isotropic stress from the 6-strain (engineering shears):
+    s_i = lam*tr(e) + 2*mu*e_i (normals), t_ij = mu*g_ij — the reference's
+    ``isotropic_elasticity`` stype=4 law (``src/mat_subroutine.py:303-311``)
+    applied directly."""
+    lam = jnp.asarray(lam)[..., None]
+    mu = jnp.asarray(mu)[..., None]
+    tr = (eps6[..., 0] + eps6[..., 1] + eps6[..., 2])[..., None]
+    normals = lam * tr + 2.0 * mu * eps6[..., :3]
+    shears = mu * eps6[..., 3:]
+    return jnp.concatenate([normals, shears], axis=-1)
+
+
 def bmatrix_axisym(dn_glob, n, r):
     """Axisymmetric (no torsion) 4-row B-matrix (reference
     ``calculate_Bm_Nm`` stype=3, ``src/mat_subroutine.py:138-151``):
@@ -204,6 +250,8 @@ def material_coeffs(stype: int, E, v):
         a = E / (1.0 - v**2)
         return v * a, a
     if stype == 3:  # axisymmetric: Lame pair with parts (C_AX_LAM4, C_AX_MU4)
+        return lame_from_Ev(E, v)
+    if stype == 4:  # 3-D solid: Lame pair with parts (C_LAM6, C_MU6)
         return lame_from_Ev(E, v)
     raise NotImplementedError(f"stype {stype}")
 

@@ -212,6 +212,40 @@ def quad12_natural(xi, eta):
     return jnp.stack(vals), jnp.stack(ders)
 
 
+# --- 3-D solid elements -----------------------------------------------------
+# Corner signs for the trilinear hex, bottom quad CCW then top quad CCW:
+# (-,-,-), (+,-,-), (+,+,-), (-,+,-), (-,-,+), (+,-,+), (+,+,+), (-,+,+)
+_HEX_XI = np.array([-1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0, -1.0])
+_HEX_ETA = np.array([-1.0, -1.0, 1.0, 1.0, -1.0, -1.0, 1.0, 1.0])
+_HEX_ZETA = np.array([-1.0, -1.0, -1.0, -1.0, 1.0, 1.0, 1.0, 1.0])
+
+
+def hex8_natural(xi, eta, zeta):
+    """Trilinear 8-node hexahedron. Returns (N (8,), dN_natural (8, 3)).
+
+    The reference's shape library is 2-D only (``src/fem_preprocess.py:
+    823-1174``) but it carries 3-D quadrature (``int3d``, ``:647-744``) and
+    the full 3-D constitutive law (``isotropic_elasticity`` stype=4,
+    ``src/mat_subroutine.py:303-311``); this element closes that gap.
+    """
+    dt = jnp.result_type(xi, 1.0)
+    s = jnp.asarray(_HEX_XI, dtype=dt)
+    t = jnp.asarray(_HEX_ETA, dtype=dt)
+    r = jnp.asarray(_HEX_ZETA, dtype=dt)
+    n = 0.125 * (1.0 + s * xi) * (1.0 + t * eta) * (1.0 + r * zeta)
+    dn_dxi = 0.125 * s * (1.0 + t * eta) * (1.0 + r * zeta)
+    dn_deta = 0.125 * t * (1.0 + s * xi) * (1.0 + r * zeta)
+    dn_dzeta = 0.125 * r * (1.0 + s * xi) * (1.0 + t * eta)
+    return n, jnp.stack([dn_dxi, dn_deta, dn_dzeta], axis=1)
+
+
+def shape_natural_3d(nel: int):
+    """3-D element dispatch: nel -> (N, dN_natural) over (xi, eta, zeta)."""
+    if nel == 8:
+        return hex8_natural
+    raise ValueError(f"unsupported 3-D element node count {nel}")
+
+
 _NATURAL_BY_NEL = None
 
 

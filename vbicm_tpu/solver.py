@@ -47,11 +47,11 @@ class FemSolution:
     stress: jax.Array  # (nele, nqpt, 6) [s11, s22, s33, t12, t23, t31]
     reactions: jax.Array  # (ndof,) support reactions (nonzero on supp dofs)
 
-    def nodal_disp(self, nnodes: int) -> jax.Array:
-        """(2, nnodes) layout of the reference's ``nodal_disp``
+    def nodal_disp(self, nnodes: int, ndm: int = 2) -> jax.Array:
+        """(ndm, nnodes) layout of the reference's ``nodal_disp``
         (``src/fem_solver.py:153``). For models with equality constraints
-        expand first: ``expand_dofs(model, sol.u).reshape(nnodes, 2).T``."""
-        return self.u.reshape(nnodes, 2).T
+        expand first: ``expand_dofs(model, sol.u).reshape(nnodes, ndm).T``."""
+        return self.u.reshape(nnodes, ndm).T
 
 
 def expand_dofs(model: FemModel, v) -> jax.Array:
@@ -187,6 +187,10 @@ def _stress6(model: FemModel, eps3, c0, c1):
         from .ops.element import stress6_axisym
 
         return stress6_axisym(eps3, c0, c1)
+    if model.stype == 4:  # 3-D solid: eps3 is the full 6-strain
+        from .ops.element import stress6_3d
+
+        return stress6_3d(eps3, c0, c1)
     return stress6_plane_stress(eps3, c0, c1)
 
 
@@ -200,9 +204,12 @@ def recover_fields(model: FemModel, u, c0, c1) -> Tuple[jax.Array, jax.Array]:
     e33 = -v/(1-v)*(e11+e22) (``src/mat_subroutine.py:51-52,289``).
     """
     ue = u[model.lm]  # (nele, edof)
-    eps3 = jnp.einsum("eqai,ei->eqa", model.B, ue)  # (nele, nqpt, 3 or 4)
+    eps3 = jnp.einsum("eqai,ei->eqa", model.B, ue)  # (nele, nqpt, 3/4/6)
     sig6 = _stress6(model, eps3, c0, c1)
     zero = jnp.zeros_like(eps3[..., 0])
+    if model.stype == 4:
+        # 3-D solid: B already produces the full 6-strain
+        return eps3, sig6
     if model.stype == 3:
         # axisym strain rows are [e_rr, e_zz, e_hoop, g_rz] already
         eps6 = jnp.stack(
@@ -295,7 +302,7 @@ def make_fh_fun(
         raise ValueError(f"probe ele_id {cfg.ele_id} outside [1, {model.nele}]")
     # probe indices live in the full node-dof layout; map into the solver
     # (reduced) space — identity unless equality constraints are active
-    obs_full = np.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])
+    obs_full = model.ndm * (cfg.node_id - 1) + np.arange(model.ndm)
     obs_dofs = jnp.asarray(np.asarray(model.dof_map)[obs_full])
     e = cfg.ele_id - 1
     q = jnp.asarray(cfg.nipt_id, dtype=jnp.int32) - 1
