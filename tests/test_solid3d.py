@@ -250,6 +250,33 @@ def test_mass_and_body_force_totals():
     np.testing.assert_allclose(f, [0.0, 0.0, -9.81 * vol], atol=1e-10)
 
 
+def test_feap_roundtrip_and_xdmf_3d(tmp_path):
+    from vbicm_tpu.eval.xdmf import write_xdmf
+    from vbicm_tpu.mesh import read_feap_mesh, write_feap_mesh
+
+    mesh = beam_hex8_mesh(3, 2, 2, lx=3.0)
+    p = str(tmp_path / "beam3d.txt")
+    write_feap_mesh(p, mesh)
+    back = read_feap_mesh(p)
+    assert back.space_dim == 3 and back.max_node_dof == 3 and back.max_ele_node == 8
+    np.testing.assert_allclose(back.coords, mesh.coords, atol=0)
+    np.testing.assert_array_equal(back.conn, mesh.conn)
+    np.testing.assert_array_equal(back.bc_nodes, mesh.bc_nodes)
+    np.testing.assert_allclose(back.load_vals, mesh.load_vals, atol=0)
+
+    model = build_fem_model(back, SEC3D)
+    sol = fea_solution(model, MaterialCard(E=E0, v=V0))
+    h5 = str(tmp_path / "beam3d.h5")
+    write_xdmf(h5, model, [np.asarray(sol.u)], mag=1.0)
+    import h5py
+
+    with h5py.File(h5, "r") as f:
+        assert f["topology"].shape == (model.nele, 8)
+        assert f["step0"].shape == (model.nnodes, 3)
+    xml = open(str(tmp_path / "beam3d.xdmf")).read()
+    assert "Hexahedron" in xml and "XYZ" in xml
+
+
 def test_beam_theory_convergence():
     """Tip deflection approaches Euler-Bernoulli + shear (Timoshenko) as the
     mesh refines — a sanity anchor on absolute physics, loose tolerance."""

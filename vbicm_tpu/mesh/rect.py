@@ -1,0 +1,73 @@
+"""Structured rectangle quad4 mesh — generic plane fixture (columns, plates).
+
+Complements the Cook's-membrane family (``mesh/cooks.py``) with an axis-
+aligned rectangle: the standard fixture for Euler-column buckling and patch
+tests on undistorted geometry.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .feap import MeshData
+
+
+def rect_quad4_mesh(
+    nx: int,
+    ny: int,
+    lx: float = 1.0,
+    ly: float = 10.0,
+    *,
+    fix_bottom: bool = True,
+    top_load: tuple = (0.0, -1.0),
+) -> MeshData:
+    """[0,lx] x [0,ly] on an nx x ny quad4 grid. The y=0 edge is clamped
+    (both dofs) when ``fix_bottom``; ``top_load`` is the TOTAL force on the
+    y=ly edge, applied as the consistent load of a uniform traction
+    (trapezoidal: edge-interior nodes get double the corner weight)."""
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+
+    def nid(i, j):
+        return j * (nx + 1) + i
+
+    nnodes = (nx + 1) * (ny + 1)
+    coords = np.zeros((nnodes, 2))
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            coords[nid(i, j)] = (xs[i], ys[j])
+
+    conn = np.zeros((nx * ny, 4), dtype=np.int32)
+    e = 0
+    for j in range(ny):
+        for i in range(nx):
+            conn[e] = [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)]
+            e += 1
+
+    if fix_bottom:
+        bc_nodes = np.array([nid(i, 0) for i in range(nx + 1)], dtype=np.int32)
+        bc_flags = np.ones((bc_nodes.shape[0], 2), dtype=np.int32)
+    else:
+        bc_nodes = np.zeros((0,), dtype=np.int32)
+        bc_flags = np.zeros((0, 2), dtype=np.int32)
+
+    w = np.zeros(nnodes)
+    for i in range(nx):  # each top edge segment spreads half to each end
+        w[nid(i, ny)] += 0.5
+        w[nid(i + 1, ny)] += 0.5
+    w /= w.sum()
+    load_nodes = np.nonzero(w)[0].astype(np.int32)
+    load_vals = w[load_nodes, None] * np.asarray(top_load, dtype=np.float64)[None, :]
+
+    return MeshData(
+        coords=coords,
+        conn=conn,
+        bc_nodes=bc_nodes,
+        bc_flags=bc_flags,
+        load_nodes=load_nodes,
+        load_vals=load_vals,
+        disp_nodes=np.zeros((0,), dtype=np.int32),
+        disp_vals=np.zeros((0, 2), dtype=np.float64),
+        space_dim=2,
+        max_node_dof=2,
+        max_ele_node=4,
+    )
