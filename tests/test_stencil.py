@@ -1,0 +1,71 @@
+"""Structured-grid stencil matvec: exact equality with the assembled
+operator, and the two-level solver with/without it."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vbicm_tpu.mesh import cooks_membrane_mesh
+from vbicm_tpu.model import build_fem_model
+from vbicm_tpu.ops.stencil import build_stencil_tables, make_stencil_part_matvec
+from vbicm_tpu.solver import make_two_level_solver
+
+NX, NY = 8, 4
+
+
+def _assembled_parts(model):
+    lm = np.asarray(model.lm)
+    Ks = []
+    for ke in (np.asarray(model.ke_lam), np.asarray(model.ke_mu)):
+        K = np.zeros((model.ndof, model.ndof))
+        for e in range(lm.shape[0]):
+            K[np.ix_(lm[e], lm[e])] += ke[e]
+        Ks.append(K)
+    return Ks
+
+
+def test_stencil_equals_assembled_matvec():
+    model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
+    pm, diag = make_stencil_part_matvec(model, NX, NY)
+    K0, K1 = _assembled_parts(model)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(model.ndof))
+    np.testing.assert_allclose(np.asarray(pm(0, x)), K0 @ np.asarray(x), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(pm(1, x)), K1 @ np.asarray(x), atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(diag), np.stack([np.diag(K0), np.diag(K1)]), atol=1e-12
+    )
+    # f32 dispatch path
+    x32 = x.astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(pm(0, x32)), (K0 @ np.asarray(x)).astype(np.float32), rtol=2e-5
+    )
+    # vmapped over a batch
+    xb = jnp.asarray(rng.standard_normal((5, model.ndof)))
+    qb = jax.vmap(lambda v: pm(1, v))(xb)
+    np.testing.assert_allclose(np.asarray(qb), np.asarray(xb) @ K1.T, atol=1e-11)
+
+
+def test_two_level_stencil_solver_matches_element_path():
+    nxc, nyc, ratio = NX // 2, NY // 2, 2
+    model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(nxc, nyc), dense=True)
+    kw = dict(cg_dtype=jnp.float32, refine_iters=1, tol=1e-6, maxiter=400)
+    s_el = make_two_level_solver(model, coarse, nxc, nyc, ratio, **kw)
+    s_st = make_two_level_solver(model, coarse, nxc, nyc, ratio, use_stencil=True, **kw)
+    lam, mu = jnp.asarray(11.54), jnp.asarray(7.69)
+    u_el = np.asarray(s_el(lam, mu))
+    u_st = np.asarray(s_st(lam, mu))
+    scale = np.abs(u_el).max()
+    np.testing.assert_allclose(u_st, u_el, atol=1e-8 * scale)
+
+    # gradients agree too (the adjoint cotangents run through the stencil)
+    def qoi(s):
+        def f(l, m):
+            return jnp.sum(s(l, m) ** 2)
+
+        return jax.grad(f, argnums=(0, 1))(lam, mu)
+
+    g_el = qoi(s_el)
+    g_st = qoi(s_st)
+    for a, b in zip(g_el, g_st):
+        assert abs(float(a) - float(b)) < 1e-5 * max(1.0, abs(float(a)))

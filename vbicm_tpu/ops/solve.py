@@ -293,8 +293,24 @@ def make_matfree_affine_solver(
     cg_dtype=None,
     refine_iters: int = 0,
     preconditioner=None,
+    part_matvec=None,
+    diag_parts=None,
+    affine_matvec=None,
 ):
     """Differentiable matrix-free solver for the affine element operator.
+
+    ``part_matvec``: optional ``(p, x) -> K_p @ x`` override of the element
+    gather/einsum/scatter matvec (must dispatch on ``x.dtype`` itself — it is
+    called with f32 vectors inside the CG iteration and f64 ones for
+    refinement residuals and adjoint coefficient cotangents). Pass
+    ``diag_parts`` (P, ndof) with it. Built by e.g.
+    ``ops.stencil.make_stencil_part_matvec`` for structured grids.
+
+    ``affine_matvec``: optional fused ``(coeffs, u) -> K(c) @ u`` used for
+    EVERY full-operator application (CG iterations and refinement residuals;
+    dtype dispatch is its responsibility) — e.g. the custom_vmap Pallas
+    stencil from ``ops.stencil.make_stencil_affine_matvec``. The adjoint
+    coefficient cotangents still use ``part_matvec``/the element path.
 
     ke_parts: (P, nele, edof, edof) theta-independent element-block bases;
     ``K(c) = sum_p c_p * assemble(ke_parts[p])``. The returned
@@ -325,34 +341,63 @@ def make_matfree_affine_solver(
         qe = jnp.einsum("eij,ej->ei", ke, ue, precision=jax.lax.Precision.HIGHEST)
         return _scatter(qe)
 
-    def _affine_matvec(parts, coeffs, u):
-        """K(c) @ u as ``sum_p c_p * (K_p @ u)`` with CONSTANT-operand
-        element einsums. Never materialize ``tensordot(coeffs, parts)``:
-        under vmap that batched contraction is a real dot_general which TPU
-        lowers to ONE bf16 pass at default precision (~2e-3 per apply —
-        round-1's "two-level vmap lane contamination" was exactly this,
-        amplified through hundreds of CG iterations). The per-part form is
-        exact, keeps the big einsum operand constant across the batch, and
-        skips the (B, nele, edof, edof) intermediate entirely."""
-        ue = u[lm]
-        q = None
-        for p in range(parts.shape[0]):
-            qp = jnp.einsum(
-                "eij,ej->ei", parts[p], ue, precision=jax.lax.Precision.HIGHEST
-            )
-            cp = coeffs[p].astype(parts.dtype)
-            q = cp * qp if q is None else q + cp * qp
-        return _scatter(q)
+    if part_matvec is None:
+
+        def _single_part(parts, p, u):
+            return _sorted_matvec(parts[p], u)
+
+        def _affine_matvec(parts, coeffs, u):
+            """K(c) @ u as ``sum_p c_p * (K_p @ u)`` with CONSTANT-operand
+            element einsums. Never materialize ``tensordot(coeffs, parts)``:
+            under vmap that batched contraction is a real dot_general which TPU
+            lowers to ONE bf16 pass at default precision (~2e-3 per apply —
+            round-1's "two-level vmap lane contamination" was exactly this,
+            amplified through hundreds of CG iterations). The per-part form is
+            exact, keeps the big einsum operand constant across the batch, and
+            skips the (B, nele, edof, edof) intermediate entirely."""
+            ue = u[lm]
+            q = None
+            for p in range(parts.shape[0]):
+                qp = jnp.einsum(
+                    "eij,ej->ei", parts[p], ue, precision=jax.lax.Precision.HIGHEST
+                )
+                cp = coeffs[p].astype(parts.dtype)
+                q = cp * qp if q is None else q + cp * qp
+            return _scatter(q)
+
+    else:
+
+        def _single_part(parts, p, u):
+            return part_matvec(p, u)
+
+        def _affine_matvec(parts, coeffs, u):
+            # custom (e.g. stencil) part applications; scalar-broadcast
+            # combine for the same bf16-trap reason as the element path
+            q = None
+            for p in range(ke_parts.shape[0]):
+                qp = part_matvec(p, u)
+                cp = coeffs[p].astype(qp.dtype)
+                q = cp * qp if q is None else q + cp * qp
+            return q
+
+    if affine_matvec is not None:
+        _affine_base = affine_matvec
+
+        def _affine_matvec(parts, coeffs, u):  # noqa: F811
+            return _affine_base(coeffs, u)
 
     def _masked_matvec_in(parts, mask, coeffs, x):
         y = _affine_matvec(parts, coeffs, x * mask)
         return y * mask + x * (1.0 - mask)  # identity on fixed dofs
 
     # per-part assembled diagonals (constants, precomputed once)
-    _diag_parts = jnp.stack(
-        [_scatter(jnp.diagonal(ke_parts_cg[p], axis1=-2, axis2=-1))
-         for p in range(ke_parts_cg.shape[0])]
-    )
+    if diag_parts is not None:
+        _diag_parts = jnp.asarray(diag_parts, ke_parts_cg.dtype)
+    else:
+        _diag_parts = jnp.stack(
+            [_scatter(jnp.diagonal(ke_parts_cg[p], axis1=-2, axis2=-1))
+             for p in range(ke_parts_cg.shape[0])]
+        )
 
     def _cg_once(coeffs, b):
         """One PCG solve in the CG dtype."""
@@ -398,7 +443,7 @@ def make_matfree_affine_solver(
         w = _solve_once(coeffs, ubar)
         cbar = []
         for p in range(ke_parts.shape[0]):
-            ku = _sorted_matvec(ke_parts[p], u)
+            ku = _single_part(ke_parts, p, u)
             cbar.append(-jnp.vdot(w, ku * free_mask))
         return jnp.stack(cbar).astype(coeffs.dtype), w
 

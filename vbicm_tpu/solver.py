@@ -368,10 +368,16 @@ def make_two_level_solver(
     tol: float = 1e-10,
     maxiter: int = 500,
     omega: float = 0.6,
+    use_stencil: bool = False,
 ) -> Callable:
     """Matrix-free solver with the spectral-coarse two-level preconditioner
     — the production full-order path for refined Cook's meshes. Returns
-    ``solve_free(c0, c1) -> u (ndof,)`` with the adjoint custom VJP."""
+    ``solve_free(c0, c1) -> u (ndof,)`` with the adjoint custom VJP.
+
+    ``use_stencil``: apply K_p as the structured-grid 9-point block stencil
+    (``ops.stencil``) instead of the element gather/einsum/scatter — removes
+    the gathered (B, nele, 8) intermediates that bound the batched CG's HBM
+    traffic. The fine grid is (nx_coarse*ratio, ny_coarse*ratio)."""
     if model.has_constraints or coarse_model.has_constraints:
         raise NotImplementedError(
             "the geometric prolongation assumes the unconstrained Cook's "
@@ -386,6 +392,13 @@ def make_two_level_solver(
     prec, _, _ = make_two_level_preconditioner(
         idx, w, coarse_apply, model.free_mask, omega=omega
     )
+    part_matvec = diag_parts = affine_matvec = None
+    if use_stencil:
+        from .ops.stencil import make_stencil_affine_matvec
+
+        affine_matvec, part_matvec, diag_parts = make_stencil_affine_matvec(
+            model, nx_coarse * ratio, ny_coarse * ratio
+        )
     ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
     base = make_matfree_affine_solver(
         ke_parts,
@@ -397,6 +410,9 @@ def make_two_level_solver(
         cg_dtype=cg_dtype,
         refine_iters=refine_iters,
         preconditioner=prec,
+        part_matvec=part_matvec,
+        diag_parts=diag_parts,
+        affine_matvec=affine_matvec,
     )
     f_masked = model.f_ext * model.free_mask
     if model.has_prescribed:
