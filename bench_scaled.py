@@ -74,10 +74,15 @@ def main():
     # at tol 3e-3 + ONE f64 refinement lands 1.3e-08 relative (observation
     # noise is 0.3) at 530 solves/s — 3x the round-1 setting (179 solves/s
     # at gratuitous 2e-13 accuracy)
+    # use_stencil: whole CG iteration in structured-grid form (Pallas row
+    # stencil matvec + reshape-based transfer operators) — 677 vs 530
+    # solves/s for the element gather/scatter path (round-2 measurement;
+    # equal to f32 rounding, 7e-8)
     coarse = build_fem_model(cooks_membrane_mesh(nx // 2, ny // 2), dense=True)
     solve2l = make_two_level_solver(
         model, coarse, nx // 2, ny // 2, 2,
         cg_dtype=jnp.float32, refine_iters=1, tol=3e-3, maxiter=400,
+        use_stencil=True,
     )
     fh_cg_one = jax.jit(make_fh_fun(model, solve_free=solve2l))
     fh_cg = jax.jit(jax.vmap(make_fh_fun(model, solve_free=solve2l)))

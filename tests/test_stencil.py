@@ -45,6 +45,40 @@ def test_stencil_equals_assembled_matvec():
     np.testing.assert_allclose(np.asarray(qb), np.asarray(xb) @ K1.T, atol=1e-11)
 
 
+def test_grid_transfer_equals_gather_transfers():
+    from vbicm_tpu.ops.multigrid import (
+        cooks_prolongation,
+        make_grid_transfer,
+        make_two_level_preconditioner,
+    )
+
+    nxc, nyc, ratio = 4, 2, 2
+    model = build_fem_model(cooks_membrane_mesh(nxc * ratio, nyc * ratio), dense=False)
+    idx, w = cooks_prolongation(nxc, nyc, ratio)
+    _, p_ref, r_ref = make_two_level_preconditioner(
+        idx, w, lambda c, r: r, model.free_mask
+    )
+    p_g, r_g = make_grid_transfer(nxc, nyc, ratio)
+    rng = np.random.default_rng(1)
+    n_c = 2 * (nxc + 1) * (nyc + 1)
+    u_c = jnp.asarray(rng.standard_normal(n_c))
+    np.testing.assert_allclose(np.asarray(p_g(u_c)), np.asarray(p_ref(u_c)), atol=1e-13)
+    r_f = jnp.asarray(rng.standard_normal(model.ndof))
+    np.testing.assert_allclose(np.asarray(r_g(r_f)), np.asarray(r_ref(r_f)), atol=1e-13)
+    # f32 + vmapped dispatch
+    ub = jnp.asarray(rng.standard_normal((3, n_c)), jnp.float32)
+    got = jax.vmap(p_g)(ub)
+    want = jnp.stack([p_ref(ub[i].astype(jnp.float64)) for i in range(3)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+    # ratio 4 adjointness
+    p4, r4 = make_grid_transfer(3, 2, 4)
+    uc = jnp.asarray(rng.standard_normal(2 * 4 * 3))
+    vf = jnp.asarray(rng.standard_normal(2 * 13 * 9))
+    np.testing.assert_allclose(
+        float(jnp.vdot(p4(uc), vf)), float(jnp.vdot(uc, r4(vf))), rtol=1e-12
+    )
+
+
 def test_two_level_stencil_solver_matches_element_path():
     nxc, nyc, ratio = NX // 2, NY // 2, 2
     model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)

@@ -50,6 +50,72 @@ def cooks_prolongation(nx_c: int, ny_c: int, ratio: int):
     return idx, w
 
 
+def make_grid_transfer(nx_c: int, ny_c: int, ratio: int):
+    """Gather-free structured-grid transfer operators.
+
+    Same math as ``cooks_prolongation`` + the segment-sum restriction (the
+    bilinear index-space P and its exact transpose), but expressed purely as
+    reshape/slice/concat arithmetic on the (NY, NX, 2) grid view of the flat
+    dof vector — no index arrays at all. Round-2 measurements showed the
+    gather-based transfers are what bound the batched two-level CG
+    (restrict 4.6 ms + prolong 3.2 ms per iteration at 160x80, B=256,
+    vs 3.8 ms for the element matvec); TPU has no fast gather path, while
+    this form is pure VPU traffic that XLA fuses.
+
+    Returns ``(prolong, restrict)`` on flat dof vectors (f32 or f64; the
+    restriction is ``jax.linear_transpose`` of the prolongation, so the pair
+    is exactly adjoint in either dtype).
+    """
+    NXc, NYc = nx_c + 1, ny_c + 1
+    r = ratio
+    t = np.arange(r, dtype=np.float64) / r
+    s = np.arange(r, dtype=np.float64) / r
+    # (r, r) bilinear weights for the four cell corners, body nodes
+    w00 = np.einsum("i,j->ij", 1 - t, 1 - s)
+    w01 = np.einsum("i,j->ij", 1 - t, s)
+    w10 = np.einsum("i,j->ij", t, 1 - s)
+    w11 = np.einsum("i,j->ij", t, s)
+
+    def _make(dtype):
+        W = [jnp.asarray(w[None, :, None, :, None], dtype) for w in (w00, w01, w10, w11)]
+        t1 = jnp.asarray((1 - t)[None, :, None], dtype)
+        t2 = jnp.asarray(t[None, :, None], dtype)
+        s1 = jnp.asarray((1 - s)[None, :, None], dtype)
+        s2 = jnp.asarray(s[None, :, None], dtype)
+
+        def prolong(u_c):
+            c = u_c.reshape(NYc, NXc, 2)
+            c00 = c[:-1, :-1][:, None, :, None]
+            c01 = c[:-1, 1:][:, None, :, None]
+            c10 = c[1:, :-1][:, None, :, None]
+            c11 = c[1:, 1:][:, None, :, None]
+            body = (W[0] * c00 + W[1] * c01 + W[2] * c10 + W[3] * c11).reshape(
+                ny_c * r, nx_c * r, 2
+            )
+            colR = c[:, -1]
+            right = (t1 * colR[:-1, None] + t2 * colR[1:, None]).reshape(ny_c * r, 1, 2)
+            rowB = c[-1]
+            bottom = (s1 * rowB[:-1, None] + s2 * rowB[1:, None]).reshape(nx_c * r, 2)
+            last = jnp.concatenate([bottom, c[-1:, -1]], axis=0)[None]
+            fine = jnp.concatenate(
+                [jnp.concatenate([body, right], axis=1), last], axis=0
+            )
+            return fine.reshape(-1)
+
+        tr = jax.linear_transpose(prolong, jnp.zeros(2 * NYc * NXc, dtype))
+        return prolong, tr
+
+    ops = {jnp.dtype(d): _make(d) for d in (jnp.float32, jnp.float64)}
+
+    def prolong(u_c):
+        return ops[jnp.dtype(u_c.dtype)][0](u_c)
+
+    def restrict(r_f):
+        return ops[jnp.dtype(r_f.dtype)][1](r_f)[0]
+
+    return prolong, restrict
+
+
 def make_two_level_preconditioner(
     prolong_idx,
     prolong_w,
@@ -57,6 +123,7 @@ def make_two_level_preconditioner(
     fine_free_mask,
     *,
     omega: float = 0.5,
+    grid_transfer=None,
 ):
     """Builds ``prec(coeffs, diag_inv, r) -> z``.
 
@@ -65,6 +132,11 @@ def make_two_level_preconditioner(
     coarse solve on the COARSE full-dof vector (fixed dofs zeroed) — use the
     spectral apply of the coarse model. diag_inv is the fine Jacobi inverse
     diagonal for the current coefficients.
+
+    ``grid_transfer``: optional ``(prolong, restrict)`` pair from
+    ``make_grid_transfer`` replacing the gather/segment-sum transfers with
+    the reshape-based structured-grid form (same math, ~10x faster batched
+    on TPU).
     """
     idx = jnp.asarray(prolong_idx, jnp.int32)
     w = jnp.asarray(prolong_w)
@@ -107,6 +179,9 @@ def make_two_level_preconditioner(
             vals[_perm_j], _sorted_ids, num_segments=2 * n_coarse,
             indices_are_sorted=True,
         )
+
+    if grid_transfer is not None:
+        _prolong, _restrict = grid_transfer
 
     def prec(coeffs, diag_inv, r):
         r = r * fine_free_mask.astype(r.dtype)

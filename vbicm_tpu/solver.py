@@ -374,10 +374,12 @@ def make_two_level_solver(
     — the production full-order path for refined Cook's meshes. Returns
     ``solve_free(c0, c1) -> u (ndof,)`` with the adjoint custom VJP.
 
-    ``use_stencil``: apply K_p as the structured-grid 9-point block stencil
-    (``ops.stencil``) instead of the element gather/einsum/scatter — removes
-    the gathered (B, nele, 8) intermediates that bound the batched CG's HBM
-    traffic. The fine grid is (nx_coarse*ratio, ny_coarse*ratio)."""
+    ``use_stencil``: run the whole CG iteration in structured-grid form —
+    K_p applied as the 9-point block stencil (``ops.stencil``, Pallas row
+    kernel for the f32 batched hot loop) and the preconditioner transfers
+    as reshape-based grid operators (``ops.multigrid.make_grid_transfer``)
+    — eliminating every gather/scatter from the hot loop. The fine grid is
+    (nx_coarse*ratio, ny_coarse*ratio)."""
     if model.has_constraints or coarse_model.has_constraints:
         raise NotImplementedError(
             "the geometric prolongation assumes the unconstrained Cook's "
@@ -389,16 +391,19 @@ def make_two_level_solver(
 
     idx, w = cooks_prolongation(nx_coarse, ny_coarse, ratio)
     coarse_apply = make_coarse_spectral_apply(coarse_model)
-    prec, _, _ = make_two_level_preconditioner(
-        idx, w, coarse_apply, model.free_mask, omega=omega
-    )
-    part_matvec = diag_parts = affine_matvec = None
+    part_matvec = diag_parts = affine_matvec = grid_transfer = None
     if use_stencil:
+        from .ops.multigrid import make_grid_transfer
         from .ops.stencil import make_stencil_affine_matvec
 
         affine_matvec, part_matvec, diag_parts = make_stencil_affine_matvec(
             model, nx_coarse * ratio, ny_coarse * ratio
         )
+        grid_transfer = make_grid_transfer(nx_coarse, ny_coarse, ratio)
+    prec, _, _ = make_two_level_preconditioner(
+        idx, w, coarse_apply, model.free_mask, omega=omega,
+        grid_transfer=grid_transfer,
+    )
     ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
     base = make_matfree_affine_solver(
         ke_parts,
