@@ -69,20 +69,22 @@ def main():
     # 1e-13 at this size.
     from vbicm_tpu.solver import make_two_level_solver
 
-    # config from the round-2 sweeps vs the certified ROM oracle: an 80x40
-    # coarse grid (ratio 2; one-time 6s eigh setup at 6.6k dofs) + f32 CG
-    # at tol 3e-3 + ONE f64 refinement lands 1.3e-08 relative (observation
-    # noise is 0.3) at 530 solves/s — 3x the round-1 setting (179 solves/s
-    # at gratuitous 2e-13 accuracy)
+    # config from the round-2 sweeps vs the certified ROM oracle: f32 CG at
+    # tol 3e-3 + ONE f64 refinement lands ~1e-08 relative (observation
+    # noise is 0.3) — round-1's 179 solves/s ran at gratuitous 2e-13
     # use_stencil: whole CG iteration in structured-grid form (Pallas row
-    # stencil matvec + reshape-based transfer operators) — 677 vs 530
-    # solves/s for the element gather/scatter path (round-2 measurement;
-    # equal to f32 rounding, 7e-8)
-    coarse = build_fem_model(cooks_membrane_mesh(nx // 2, ny // 2), dense=True)
+    # stencil matvec + reshape-based transfer operators) — 701 vs 530
+    # solves/s for the element gather/scatter path (round-2 sweep; equal to
+    # f32 rounding). Coarse level 40x20 at ratio 4 with DEFAULT-precision
+    # (single-bf16-pass) coarse matmuls: within noise of the 80x40/HIGHEST
+    # level (742 vs 701) at 30x cheaper setup (6.6 vs 203 s eigh) — the
+    # preconditioner only shapes the Krylov space, accuracy comes from CG
+    # on the exact operator + the f64 refinement.
+    coarse = build_fem_model(cooks_membrane_mesh(nx // 4, ny // 4), dense=True)
     solve2l = make_two_level_solver(
-        model, coarse, nx // 2, ny // 2, 2,
+        model, coarse, nx // 4, ny // 4, 4,
         cg_dtype=jnp.float32, refine_iters=1, tol=3e-3, maxiter=400,
-        use_stencil=True,
+        use_stencil=True, coarse_f32_precision=jax.lax.Precision.DEFAULT,
     )
     fh_cg_one = jax.jit(make_fh_fun(model, solve_free=solve2l))
     fh_cg = jax.jit(jax.vmap(make_fh_fun(model, solve_free=solve2l)))

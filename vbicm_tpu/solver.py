@@ -324,11 +324,19 @@ def make_fh_fun(
     return fh
 
 
-def make_coarse_spectral_apply(coarse_model: FemModel) -> Callable:
+def make_coarse_spectral_apply(
+    coarse_model: FemModel, *, f32_precision=jax.lax.Precision.HIGHEST
+) -> Callable:
     """Exact coarse-grid solve ``(coeffs, r_full) -> K_c(coeffs)^-1 r_full``
     via the coarse pencil diagonalization — the coarse component of the
     two-level preconditioner (``ops.multigrid``). Matches the input dtype
-    (f32 inside mixed-precision CG, f64 otherwise)."""
+    (f32 inside mixed-precision CG, f64 otherwise).
+
+    ``f32_precision``: matmul precision of the f32 path. HIGHEST (default)
+    is 6 bf16 MXU passes per matmul; inside the two-level PRECONDITIONER
+    ``Precision.DEFAULT`` (one bf16 pass) is safe — the preconditioner only
+    shapes the Krylov space, CG itself and the f64 refinement run on the
+    exact operator — and makes the coarse apply ~6x cheaper."""
     import numpy as np
     import scipy.linalg
 
@@ -349,7 +357,11 @@ def make_coarse_spectral_apply(coarse_model: FemModel) -> Callable:
         gj, Vj = tables[jnp.dtype(r_full.dtype)]
         r_f = r_full[free]
         d = coeffs[0].astype(r_full.dtype) * gj + coeffs[1].astype(r_full.dtype)
-        hp = jax.lax.Precision.HIGHEST
+        hp = (
+            f32_precision
+            if r_full.dtype == jnp.float32
+            else jax.lax.Precision.HIGHEST
+        )
         u_f = jnp.matmul(Vj, jnp.matmul(Vj.T, r_f, precision=hp) / d, precision=hp)
         return embed(u_f)
 
@@ -369,6 +381,7 @@ def make_two_level_solver(
     maxiter: int = 500,
     omega: float = 0.6,
     use_stencil: bool = False,
+    coarse_f32_precision=jax.lax.Precision.HIGHEST,
 ) -> Callable:
     """Matrix-free solver with the spectral-coarse two-level preconditioner
     — the production full-order path for refined Cook's meshes. Returns
@@ -390,7 +403,9 @@ def make_two_level_solver(
     from .ops.solve import make_matfree_affine_solver
 
     idx, w = cooks_prolongation(nx_coarse, ny_coarse, ratio)
-    coarse_apply = make_coarse_spectral_apply(coarse_model)
+    coarse_apply = make_coarse_spectral_apply(
+        coarse_model, f32_precision=coarse_f32_precision
+    )
     part_matvec = diag_parts = affine_matvec = grid_transfer = None
     if use_stencil:
         from .ops.multigrid import make_grid_transfer
