@@ -70,6 +70,11 @@ class FemModel:
     # me = dvol * Nm^T den Nm, src/mat_subroutine.py:74-75); None unless
     # built with with_mass=True. Scale by density: M_e = rho * me_unit.
     me_unit: Optional[jax.Array] = None  # (nele, edof, edof)
+    # nodal-spring diagonal (solver dof space): K(c) = c0*K_lam + c1*K_mu
+    # + diag(spring_diag). Reference "nodal_spring" card
+    # (src/fem_solver.py:277-286 — unreachable there: gated behind the
+    # unimplemented large-displacement chain). None when no springs.
+    spring_diag: Optional[jax.Array] = None  # (ndof,)
     # static metadata
     nnodes: int = struct.field(pytree_node=False, default=0)
     nele: int = struct.field(pytree_node=False, default=0)
@@ -89,6 +94,7 @@ class FemModel:
     dof_map: Optional[jax.Array] = None  # (ndof_full,) int32
     ndof_full: int = struct.field(pytree_node=False, default=0)
     has_constraints: bool = struct.field(pytree_node=False, default=False)
+    has_springs: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def dtype(self):
@@ -244,6 +250,7 @@ def build_fem_model(
     eq_groups=None,
     body_force=None,
     with_mass: bool = False,
+    nodal_springs=None,
 ) -> FemModel:
     """Preprocess a mesh into the frozen FemModel pytree.
 
@@ -261,6 +268,14 @@ def build_fem_model(
     unit volume (reference part-card ``body``; its residual term
     ``-dvol*(Nm^T body)``, ``src/mat_subroutine.py:113-122``) — added to
     ``f_ext`` as the consistent nodal load.
+
+    ``nodal_springs``: optional sequence of 0-based ``(node, direction, ks)``
+    grounded nodal springs (reference ``nodal_spring`` card,
+    ``src/fem_solver.py:277-286`` — unreachable there behind the
+    unimplemented large-displacement chain). The operator becomes the
+    3-term affine ``c0*K_lam + c1*K_mu + diag(s)``; dense solver paths
+    carry it exactly (the 2-term spectral pencil does not apply — the
+    dense solver falls back to Cholesky).
     """
     is3d = mesh.max_node_dof == 3 or mesh.space_dim == 3
     if is3d:
@@ -411,6 +426,13 @@ def build_fem_model(
             )
         )
 
+    spring_diag = None
+    if nodal_springs:
+        sd = np.zeros(ndof)
+        for node, direction, ks in nodal_springs:
+            np.add.at(sd, dof_map_np[ndm * int(node) + int(direction)], float(ks))
+        spring_diag = sd
+
     nfree = free_dof.shape[0]
     if dense is None:
         dense = nfree <= 4096
@@ -470,6 +492,7 @@ def build_fem_model(
         k_lam_ff=as_dt(k_lam_ff) if k_lam_ff is not None else None,
         k_mu_ff=as_dt(k_mu_ff) if k_mu_ff is not None else None,
         me_unit=as_dt(me_unit) if me_unit is not None else None,
+        spring_diag=as_dt(spring_diag) if spring_diag is not None else None,
         nnodes=mesh.nnodes,
         nele=mesh.nele,
         ndof=ndof,
@@ -483,6 +506,7 @@ def build_fem_model(
         dof_map=jnp.asarray(dof_map_np),
         ndof_full=int(ndof_full),
         has_constraints=has_constraints,
+        has_springs=spring_diag is not None,
     )
 
 

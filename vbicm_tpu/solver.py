@@ -80,7 +80,34 @@ def make_solver(
       * "cholesky"/"inverse" — per-sample factorization paths.
     Matrix-free models: Jacobi-PCG on the element operator.
     """
+    if model.has_springs and not model.dense:
+        raise NotImplementedError(
+            "nodal springs are carried as a third dense affine part; build "
+            "the model with dense=True (the reference's spring card targets "
+            "small compliant-mechanism models, src/fem_solver.py:277-286)"
+        )
     if model.dense:
+        if model.has_springs:
+            # 3-term affine c0*K_lam + c1*K_mu + 1*diag(s): the 2-term
+            # spectral pencil no longer applies — Cholesky/inverse paths
+            # are P-generic, so route "spectral" to "cholesky".
+            s_ff = jnp.diag(model.spring_diag[model.free_dof])
+            parts = jnp.stack([model.k_lam_ff, model.k_mu_ff, s_ff])
+            base = make_dense_affine_solver(
+                parts,
+                factor_dtype=factor_dtype,
+                refine_iters=refine_iters,
+                method="cholesky" if method == "spectral" else method,
+            )
+            rhs = _make_lifted_rhs(model)
+            embed = _make_free_embed(model, with_prescribed=True)
+            one = jnp.asarray(1.0, model.dtype)
+
+            def solve_free(lam, mu):
+                coeffs = jnp.stack([lam, mu, one])
+                return embed(base(coeffs, rhs(lam, mu)))
+
+            return solve_free
         parts = jnp.stack([model.k_lam_ff, model.k_mu_ff])
         if method == "spectral":
             base = make_spectral_affine_solver(
@@ -246,6 +273,10 @@ def fea_solution(
     ke = c0 * model.ke_lam + c1 * model.ke_mu
     fe = jnp.einsum("eij,ej->ei", ke, u[model.lm])
     f_int = jnp.zeros((model.ndof,), dtype=u.dtype).at[model.lm.reshape(-1)].add(fe.reshape(-1))
+    if model.has_springs:
+        # spring internal force ks*u (reference F_int update,
+        # src/fem_solver.py:285-286)
+        f_int = f_int + model.spring_diag * u
     reactions = f_int * (1.0 - model.free_mask)
     return FemSolution(u=u, strain=eps6, stress=sig6, reactions=reactions)
 
@@ -450,6 +481,20 @@ def make_two_level_solver(
         return base(jnp.stack([c0, c1]), f_masked)
 
     return solve_free
+
+
+def make_finverter_vector(model: FemModel, info) -> jax.Array:
+    """Compliant-mechanism output-functional vector Lv (reference
+    ``finverter_info``, ``src/fem_solver.py:266-274``): ±1 at the 0-based
+    ``(node, direction, sign)`` output dofs; the design objective is
+    ``Lv @ u`` (differentiable through any solver path)."""
+    import numpy as np
+
+    L = np.zeros(model.ndof)
+    dof_map = np.asarray(model.dof_map)
+    for node, direction, sign in info:
+        L[dof_map[model.ndm * int(node) + int(direction)]] += float(sign)
+    return jnp.asarray(L, model.dtype)
 
 
 def element_strain_energy(model: FemModel, u, c0, c1) -> jax.Array:
