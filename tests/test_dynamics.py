@@ -1,0 +1,83 @@
+"""Newmark transient dynamics: modal-exact free vibration, energy
+conservation, Rayleigh decay, and the static long-time limit."""
+import jax.numpy as jnp
+import numpy as np
+
+from vbicm_tpu.mesh import cooks_membrane_mesh
+from vbicm_tpu.model import build_fem_model
+from vbicm_tpu.eval.modal import natural_frequencies
+from vbicm_tpu.ops.dynamics import make_newmark_integrator, total_energy
+from vbicm_tpu.solver import fea_solution
+from vbicm_tpu.config import MaterialCard
+
+RHO = 1.0
+
+
+def _model():
+    return build_fem_model(cooks_membrane_mesh(4, 2), dense=True, with_mass=True)
+
+
+def test_free_vibration_matches_modal_solution():
+    model = _model()
+    w, phi = natural_frequencies(model, density=RHO, n_modes=1)
+    w1 = float(w[0])
+    T = 2 * np.pi / w1
+    dt = T / 400
+    nsteps = 800  # two periods
+    integ = make_newmark_integrator(model, density=RHO, dt=dt)
+    u0 = jnp.asarray(phi[:, 0])
+    v0 = jnp.zeros_like(u0)
+    F = jnp.zeros((nsteps, model.nfree))
+    us, vels, _ = integ(u0, v0, F)
+    t = dt * np.arange(1, nsteps + 1)
+    exact = np.cos(w1 * t)[:, None] * np.asarray(phi[:, 0])[None, :]
+    # avg-acceleration period error ~ (w*dt)^2/12 per period: tiny at dt=T/400
+    err = np.max(np.abs(np.asarray(us) - exact)) / np.max(np.abs(exact))
+    assert err < 5e-3
+
+    # energy conservation (undamped, gamma=1/2): relative drift < 1e-10
+    en = np.asarray(total_energy(model, us, vels, density=RHO))
+    assert np.max(np.abs(en - en[0])) / en[0] < 1e-9
+
+
+def test_rayleigh_damped_decay():
+    model = _model()
+    w, phi = natural_frequencies(model, density=RHO, n_modes=1)
+    w1 = float(w[0])
+    a_r = 0.02 * w1  # mass-proportional: zeta = a/(2w)
+    zeta = a_r / (2 * w1)
+    T = 2 * np.pi / w1
+    dt = T / 400
+    nsteps = 2000  # five periods
+    integ = make_newmark_integrator(model, density=RHO, dt=dt, rayleigh=(a_r, 0.0))
+    u0 = jnp.asarray(phi[:, 0])
+    us, _, _ = integ(u0, jnp.zeros_like(u0), jnp.zeros((nsteps, model.nfree)))
+    # modal coordinate (normalized projection); envelope exp(-zeta*w*t):
+    # peak amplitude of period 1 vs period 4 gives the decrement over 3T
+    p1 = np.asarray(phi[:, 0])
+    q = (np.asarray(us) @ p1) / (p1 @ p1)
+    per = int(round(T / dt))
+    a_first = np.max(np.abs(q[:per]))
+    a_last = np.max(np.abs(q[3 * per : 4 * per]))
+    expect = np.exp(-zeta * w1 * 3 * T)
+    assert abs(a_last / a_first - expect) < 0.02 * expect
+
+
+def test_damped_step_load_reaches_static_solution():
+    model = _model()
+    w, _ = natural_frequencies(model, density=RHO, n_modes=1)
+    w1 = float(w[0])
+    dt = 2 * np.pi / w1 / 100
+    nsteps = 4000
+    integ = make_newmark_integrator(
+        model, density=RHO, dt=dt, rayleigh=(0.8 * w1, 0.2 / w1)
+    )
+    F = jnp.broadcast_to(model.f_free, (nsteps, model.nfree))
+    us, _, _ = integ(
+        jnp.zeros(model.nfree), jnp.zeros(model.nfree), F
+    )
+    u_static = np.asarray(fea_solution(model, MaterialCard()).u)[
+        np.asarray(model.free_dof)
+    ]
+    rel = np.max(np.abs(np.asarray(us[-1]) - u_static)) / np.max(np.abs(u_static))
+    assert rel < 1e-6
