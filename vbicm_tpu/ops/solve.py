@@ -300,17 +300,16 @@ def make_matfree_affine_solver(
     """Differentiable matrix-free solver for the affine element operator.
 
     ``part_matvec``: optional ``(p, x) -> K_p @ x`` override of the element
-    gather/einsum/scatter matvec (must dispatch on ``x.dtype`` itself — it is
-    called with f32 vectors inside the CG iteration and f64 ones for
-    refinement residuals and adjoint coefficient cotangents). Pass
-    ``diag_parts`` (P, ndof) with it. Built by e.g.
+    gather/einsum/scatter matvec, used for FLOAT32 applications only (the
+    CG hot loop). Pass ``diag_parts`` (P, ndof) with it. Built by e.g.
     ``ops.stencil.make_stencil_part_matvec`` for structured grids.
 
-    ``affine_matvec``: optional fused ``(coeffs, u) -> K(c) @ u`` used for
-    EVERY full-operator application (CG iterations and refinement residuals;
-    dtype dispatch is its responsibility) — e.g. the custom_vmap Pallas
-    stencil from ``ops.stencil.make_stencil_affine_matvec``. The adjoint
-    coefficient cotangents still use ``part_matvec``/the element path.
+    ``affine_matvec``: optional fused ``(coeffs, u) -> K(c) @ u``, likewise
+    f32-only — e.g. the custom_vmap Pallas stencil from
+    ``ops.stencil.make_stencil_affine_matvec``. All f64 applications
+    (refinement residuals, adjoint coefficient cotangents) stay on the
+    element einsum path regardless: f64 is VPU-emulated on TPU and the XLA
+    stencil is 2x slower than the element path there (measured).
 
     ke_parts: (P, nele, edof, edof) theta-independent element-block bases;
     ``K(c) = sum_p c_p * assemble(ke_parts[p])``. The returned
@@ -341,38 +340,56 @@ def make_matfree_affine_solver(
         qe = jnp.einsum("eij,ej->ei", ke, ue, precision=jax.lax.Precision.HIGHEST)
         return _scatter(qe)
 
+    def _element_single_part(parts, p, u):
+        return _sorted_matvec(parts[p], u)
+
+    def _element_affine_matvec(parts, coeffs, u):
+        """K(c) @ u as ``sum_p c_p * (K_p @ u)`` with CONSTANT-operand
+        element einsums. Never materialize ``tensordot(coeffs, parts)``:
+        under vmap that batched contraction is a real dot_general which TPU
+        lowers to ONE bf16 pass at default precision (~2e-3 per apply —
+        round-1's "two-level vmap lane contamination" was exactly this,
+        amplified through hundreds of CG iterations). The per-part form is
+        exact, keeps the big einsum operand constant across the batch, and
+        skips the (B, nele, edof, edof) intermediate entirely."""
+        ue = u[lm]
+        q = None
+        for p in range(parts.shape[0]):
+            qp = jnp.einsum(
+                "eij,ej->ei", parts[p], ue, precision=jax.lax.Precision.HIGHEST
+            )
+            cp = coeffs[p].astype(parts.dtype)
+            q = cp * qp if q is None else q + cp * qp
+        return _scatter(q)
+
+    # Custom (stencil) applications serve ONLY f32 — the CG hot loop.
+    # f64 applications (refinement residuals, adjoint coefficient
+    # cotangents) stay on the element path: f64 is VPU-emulated on TPU and
+    # the 18-pass XLA stencil is 2x SLOWER than the element einsum there
+    # (259 vs 127 ms at 160x80 B=256, measured round 2), while in f32 the
+    # Pallas stencil is 2.3x faster. Dtype dispatch is trace-time static.
     if part_matvec is None:
-
-        def _single_part(parts, p, u):
-            return _sorted_matvec(parts[p], u)
-
-        def _affine_matvec(parts, coeffs, u):
-            """K(c) @ u as ``sum_p c_p * (K_p @ u)`` with CONSTANT-operand
-            element einsums. Never materialize ``tensordot(coeffs, parts)``:
-            under vmap that batched contraction is a real dot_general which TPU
-            lowers to ONE bf16 pass at default precision (~2e-3 per apply —
-            round-1's "two-level vmap lane contamination" was exactly this,
-            amplified through hundreds of CG iterations). The per-part form is
-            exact, keeps the big einsum operand constant across the batch, and
-            skips the (B, nele, edof, edof) intermediate entirely."""
-            ue = u[lm]
-            q = None
-            for p in range(parts.shape[0]):
-                qp = jnp.einsum(
-                    "eij,ej->ei", parts[p], ue, precision=jax.lax.Precision.HIGHEST
-                )
-                cp = coeffs[p].astype(parts.dtype)
-                q = cp * qp if q is None else q + cp * qp
-            return _scatter(q)
-
+        _single_part = _element_single_part
     else:
 
         def _single_part(parts, p, u):
-            return part_matvec(p, u)
+            if u.dtype == jnp.float32:
+                return part_matvec(p, u)
+            return _element_single_part(parts, p, u)
+
+    if affine_matvec is not None:
 
         def _affine_matvec(parts, coeffs, u):
-            # custom (e.g. stencil) part applications; scalar-broadcast
-            # combine for the same bf16-trap reason as the element path
+            if u.dtype == jnp.float32:
+                return affine_matvec(coeffs, u)
+            return _element_affine_matvec(parts, coeffs, u)
+
+    elif part_matvec is not None:
+
+        def _affine_matvec(parts, coeffs, u):
+            if u.dtype != jnp.float32:
+                return _element_affine_matvec(parts, coeffs, u)
+            # scalar-broadcast combine for the same bf16-trap reason
             q = None
             for p in range(ke_parts.shape[0]):
                 qp = part_matvec(p, u)
@@ -380,11 +397,8 @@ def make_matfree_affine_solver(
                 q = cp * qp if q is None else q + cp * qp
             return q
 
-    if affine_matvec is not None:
-        _affine_base = affine_matvec
-
-        def _affine_matvec(parts, coeffs, u):  # noqa: F811
-            return _affine_base(coeffs, u)
+    else:
+        _affine_matvec = _element_affine_matvec
 
     def _masked_matvec_in(parts, mask, coeffs, x):
         y = _affine_matvec(parts, coeffs, x * mask)
