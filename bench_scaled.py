@@ -115,6 +115,36 @@ def main():
         )
     )
 
+    # speed mode: split-f32 refinement residual (kappa-limited ~3e-4
+    # relative — 75x below the VI observation noise; docstring in
+    # ops/solve.py::make_matfree_affine_solver)
+    solve_sp = make_two_level_solver(
+        model, coarse, nx // 4, ny // 4, 4,
+        cg_dtype=jnp.float32, refine_iters=1, tol=3e-3, maxiter=400,
+        use_stencil=True, coarse_f32_precision=jax.lax.Precision.DEFAULT,
+        refine_residual="split_f32",
+    )
+    fh_sp = jax.jit(jax.vmap(make_fh_fun(model, solve_free=solve_sp)))
+    ysp, _ = fh_sp(thetas)
+    jax.block_until_ready(ysp)
+    t0 = time.perf_counter()
+    ysp, _ = fh_sp(thetas)
+    jax.block_until_ready(ysp)
+    dt_sp = time.perf_counter() - t0
+    sp_err = float(jnp.max(jnp.abs(ysp - yb)) / jnp.max(jnp.abs(yb)))
+    print(
+        json.dumps(
+            {
+                "metric": "scaled_fem_solves_per_sec_fullorder_splitres",
+                "value": round(n_sam / dt_sp, 2),
+                "unit": "solves/s",
+                "mesh": f"{nx}x{ny}",
+                "batch": n_sam,
+                "rel_err_vs_f64_mode": sp_err,
+            }
+        )
+    )
+
 
 def serving_metric():
     """Amortized-inference serving throughput: y -> (posterior, predictive)

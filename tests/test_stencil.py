@@ -103,3 +103,11 @@ def test_two_level_stencil_solver_matches_element_path():
     g_st = qoi(s_st)
     for a, b in zip(g_el, g_st):
         assert abs(float(a) - float(b)) < 1e-5 * max(1.0, abs(float(a)))
+
+    # split-f32 refinement-residual speed mode: kappa-limited accuracy
+    s_sp = make_two_level_solver(
+        model, coarse, nxc, nyc, ratio, use_stencil=True,
+        refine_residual="split_f32", **kw
+    )
+    u_sp = np.asarray(s_sp(lam, mu))
+    assert np.max(np.abs(u_sp - u_el)) < 1e-4 * scale

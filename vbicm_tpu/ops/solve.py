@@ -296,8 +296,21 @@ def make_matfree_affine_solver(
     part_matvec=None,
     diag_parts=None,
     affine_matvec=None,
+    refine_residual: str = "f64",
 ):
     """Differentiable matrix-free solver for the affine element operator.
+
+    ``refine_residual``: how iterative-refinement residuals are computed.
+    "f64" (default) — exact, one emulated-f64 element matvec per
+    refinement. "split_f32" — split the f64 iterate x = x1 + x2 into two
+    f32 halves, apply the (fast, possibly Pallas-stencil) f32 operator to
+    each, and sum in f64: the splitting represents x exactly, so the
+    residual error is the f32 rounding of the apply, and the refined
+    solution lands at ~kappa(K) * 1e-7 relative (measured 2.7e-4 at
+    160x80 — vs 4e-8 for "f64" — at 2.05x the throughput, 2322 vs 1131
+    solves/s at B=256). A speed mode for workloads whose tolerance is far
+    above that (the VI observation noise is 0.3). Requires
+    cg_dtype=float32.
 
     ``part_matvec``: optional ``(p, x) -> K_p @ x`` override of the element
     gather/einsum/scatter matvec, used for FLOAT32 applications only (the
@@ -436,11 +449,32 @@ def make_matfree_affine_solver(
         x, _, _ = pcg(mv, bc, prec, tol=tol, maxiter=maxiter)
         return x
 
+    if refine_residual == "split_f32":
+        if jnp.dtype(cg_dtype or ke_parts.dtype) != jnp.dtype(jnp.float32):
+            raise ValueError("refine_residual='split_f32' needs cg_dtype=float32")
+
+        def _residual(coeffs, b, x):
+            x1 = x.astype(jnp.float32)
+            x2 = (x - x1.astype(x.dtype)).astype(jnp.float32)
+            q = (
+                _affine_matvec(ke_parts_cg, coeffs, x1 * free_mask_cg).astype(x.dtype)
+                + _affine_matvec(ke_parts_cg, coeffs, x2 * free_mask_cg).astype(x.dtype)
+            )
+            return (b - q) * free_mask
+
+    elif refine_residual == "f64":
+
+        def _residual(coeffs, b, x):
+            # fixed-dof identity term cancels since x, r live on free dofs
+            return b * free_mask - _masked_matvec_in(ke_parts, free_mask, coeffs, x) * free_mask
+
+    else:
+        raise ValueError(f"unknown refine_residual {refine_residual!r}")
+
     def _solve_once(coeffs, b):
         x = _cg_once(coeffs, b).astype(b.dtype)
         for _ in range(refine_iters):
-            r = b * free_mask - _masked_matvec_in(ke_parts, free_mask, coeffs, x) * free_mask
-            # fixed-dof identity term cancels since x, r live on free dofs
+            r = _residual(coeffs, b, x)
             x = x + _cg_once(coeffs, r).astype(b.dtype)
         return x * free_mask
 

@@ -413,6 +413,7 @@ def make_two_level_solver(
     omega: float = 0.6,
     use_stencil: bool = False,
     coarse_f32_precision=jax.lax.Precision.HIGHEST,
+    refine_residual: str = "f64",
 ) -> Callable:
     """Matrix-free solver with the spectral-coarse two-level preconditioner
     — the production full-order path for refined Cook's meshes. Returns
@@ -464,6 +465,7 @@ def make_two_level_solver(
         part_matvec=part_matvec,
         diag_parts=diag_parts,
         affine_matvec=affine_matvec,
+        refine_residual=refine_residual,
     )
     f_masked = model.f_ext * model.free_mask
     if model.has_prescribed:
