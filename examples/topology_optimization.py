@@ -1,0 +1,48 @@
+"""SIMP compliance minimization on a cantilever — the optimizer the
+reference's dormant topopt plumbing (``*_topopt`` preprocessing, Ktl_ele,
+strain energy, force-inverter hooks) never shipped.
+
+The sensitivity is jax.grad THROUGH the FEM solve (verified against the
+classic adjoint formula in tests/test_topopt.py); each OC iteration is one
+jitted value_and_grad of the filter->SIMP->assemble->Cholesky->compliance
+pipeline.
+
+Run: python examples/topology_optimization.py
+"""
+import numpy as np
+
+import vbicm_tpu
+
+vbicm_tpu.enable_x64()
+
+from vbicm_tpu.mesh.rect import cantilever_quad4_mesh  # noqa: E402
+from vbicm_tpu.model import build_fem_model  # noqa: E402
+from vbicm_tpu.ops.topopt import optimize_compliance  # noqa: E402
+
+
+def main():
+    nx, ny = 48, 16
+    model = build_fem_model(cantilever_quad4_mesh(nx, ny), dense=True)
+    volfrac = 0.4
+
+    def cb(it, c, rho):
+        if it % 10 == 0:
+            print(f"iter {it:3d}: compliance {c:.4e}, vol {float(rho.mean()):.3f}")
+
+    rho, hist = optimize_compliance(
+        model, volfrac=volfrac, n_iter=60, rmin=1.8, callback=cb
+    )
+    print(
+        f"final compliance {hist['compliance'][-1]:.4e} "
+        f"({hist['compliance'][-1] / hist['compliance'][0]:.2f}x initial), "
+        f"vol {hist['vol'][-1]:.3f}"
+    )
+    # ASCII density map (top row first)
+    g = np.asarray(rho).reshape(ny, nx)
+    chars = " .:-=+*#%@"
+    for row in g[::-1]:
+        print("".join(chars[min(9, int(v * 9.999))] for v in row))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,45 @@ def rect_quad4_mesh(
         max_node_dof=2,
         max_ele_node=4,
     )
+
+
+def cantilever_quad4_mesh(
+    nx: int, ny: int, lx: float = 3.0, ly: float = 1.0
+) -> MeshData:
+    """[0,lx] x [0,ly] cantilever: x=0 edge clamped, unit downward point
+    load at the right-edge midheight — the standard compliance-minimization
+    (88-line-code style) fixture."""
+    xs = np.linspace(0.0, lx, nx + 1)
+    ys = np.linspace(0.0, ly, ny + 1)
+
+    def nid(i, j):
+        return j * (nx + 1) + i
+
+    nnodes = (nx + 1) * (ny + 1)
+    coords = np.zeros((nnodes, 2))
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            coords[nid(i, j)] = (xs[i], ys[j])
+    conn = np.zeros((nx * ny, 4), dtype=np.int32)
+    e = 0
+    for j in range(ny):
+        for i in range(nx):
+            conn[e] = [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)]
+            e += 1
+    bc_nodes = np.array([nid(0, j) for j in range(ny + 1)], dtype=np.int32)
+    bc_flags = np.ones((bc_nodes.shape[0], 2), dtype=np.int32)
+    load_nodes = np.array([nid(nx, ny // 2)], dtype=np.int32)
+    load_vals = np.array([[0.0, -1.0]])
+    return MeshData(
+        coords=coords,
+        conn=conn,
+        bc_nodes=bc_nodes,
+        bc_flags=bc_flags,
+        load_nodes=load_nodes,
+        load_vals=load_vals,
+        disp_nodes=np.zeros((0,), dtype=np.int32),
+        disp_vals=np.zeros((0, 2), dtype=np.float64),
+        space_dim=2,
+        max_node_dof=2,
+        max_ele_node=4,
+    )

@@ -1,0 +1,134 @@
+"""SIMP topology optimization (compliance minimization) on the FEM core.
+
+The reference is saturated with dormant topology-optimization plumbing —
+``assign_dof_parfor_topopt`` / ``get_element_data_topopt`` suffixes
+(``src/fem_preprocess.py:291,746``), the reference element stiffness
+``Ktl_ele`` (``:759-760``), per-element strain energy
+(``src/fem_solver.py:231-233``), the force-inverter/nodal-spring hooks
+(``src/fem_solver.py:264-286``) — but no optimizer ever ships. This module
+completes the capability the TPU-native way:
+
+  * the density-to-compliance map is ONE jitted differentiable function
+    (filter -> SIMP interpolation -> dense assembly -> Cholesky solve ->
+    c = f'u); the sensitivity is ``jax.grad`` THROUGH the solve — no
+    hand-derived adjoint formula, though the classic
+    ``dc/drho_e = -p rho^(p-1) u_e' k_e u_e`` identity is recovered
+    exactly (unit-tested);
+  * the classic optimality-criteria update with a bisected Lagrange
+    multiplier runs on host scalars around the jitted kernel (a handful of
+    cheap iterations, not worth a compiled while_loop).
+
+Density filtering uses the standard linear cone on element centroids
+(dense weight matrix — fine for the O(10^3)-element demo sizes; swap for a
+conv on structured grids at scale).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model import FemModel
+from .assembly import assemble_dense
+from .element import material_coeffs
+
+
+class TopoProblem(NamedTuple):
+    compliance_and_grad: callable  # rho -> (c, dc/drho) jitted
+    filter_mat: jax.Array  # (nele, nele) density filter H (row-normalized)
+    ke: jax.Array  # (nele, edof, edof) full-material element stiffness
+    volfrac_grad: jax.Array  # d(mean rho_phys)/d rho  (filter column sums / nele)
+
+
+def make_compliance_problem(
+    model: FemModel,
+    *,
+    E: float = 20.0,
+    v: float = 0.3,
+    penal: float = 3.0,
+    rmin: float = 1.5,
+    rho_min: float = 1e-3,
+) -> TopoProblem:
+    """Build the differentiable compliance pipeline for a dense q4 model.
+
+    ``rmin`` is the filter radius in units of mean element size. SIMP
+    stiffness: ``E(rho) = rho_min + rho_phys^penal * (1 - rho_min)`` (of
+    the full-material element stiffness).
+    """
+    if model.k_lam_ff is None:
+        raise ValueError("topology optimization uses the dense path (dense=True)")
+    c0, c1 = material_coeffs(model.stype, E, v)
+    ke = float(c0) * model.ke_lam + float(c1) * model.ke_mu  # (nele, edof, edof)
+
+    # centroid cone filter
+    cent = np.asarray(model.coords)[np.asarray(model.conn)].mean(axis=1)  # (nele, 2)
+    d = np.linalg.norm(cent[:, None, :] - cent[None, :, :], axis=-1)
+    h_elem = float(np.sqrt(np.mean(np.asarray(model.dvol).sum(axis=1)) / model.thk))
+    H = np.maximum(0.0, rmin * h_elem - d)
+    H /= H.sum(axis=1, keepdims=True)
+    Hj = jnp.asarray(H, model.dtype)
+
+    free = model.free_dof
+    f_f = model.f_free
+    lm = model.lm
+    ndof = model.ndof
+
+    def compliance(rho):
+        rho_phys = Hj @ rho
+        scale = rho_min + (1.0 - rho_min) * rho_phys**penal
+        K = assemble_dense(scale[:, None, None] * ke, lm, ndof)
+        K_ff = K[free][:, free]
+        u_f = jax.scipy.linalg.solve(K_ff, f_f, assume_a="pos")
+        return jnp.dot(f_f, u_f)
+
+    cg = jax.jit(jax.value_and_grad(compliance))
+    vol_grad = jnp.asarray(H.sum(axis=0) / H.shape[0], model.dtype)
+    return TopoProblem(cg, Hj, ke, vol_grad)
+
+
+def oc_update(rho, dc, dv, volfrac, *, move: float = 0.2, damp: float = 0.5):
+    """Classic optimality-criteria update with bisection on the volume
+    multiplier (host scalars; rho/dc/dv device arrays)."""
+    dc = jnp.minimum(dc, 0.0)  # compliance sensitivity is <= 0 in exact arith
+    l1, l2 = 1e-9, 1e9
+    rho_new = rho
+    while (l2 - l1) / (l1 + l2) > 1e-4:
+        lmid = 0.5 * (l1 + l2)
+        cand = rho * (-dc / (lmid * dv)) ** damp
+        rho_new = jnp.clip(
+            cand, jnp.maximum(rho - move, 0.0), jnp.minimum(rho + move, 1.0)
+        )
+        if float(jnp.mean(rho_new)) > volfrac:
+            l1 = lmid
+        else:
+            l2 = lmid
+    return rho_new
+
+
+def optimize_compliance(
+    model: FemModel,
+    *,
+    volfrac: float = 0.4,
+    n_iter: int = 40,
+    penal: float = 3.0,
+    rmin: float = 1.5,
+    E: float = 20.0,
+    v: float = 0.3,
+    callback=None,
+):
+    """Run SIMP compliance minimization. Returns (rho, history dict)."""
+    prob = make_compliance_problem(model, E=E, v=v, penal=penal, rmin=rmin)
+    nele = model.nele
+    rho = jnp.full((nele,), volfrac, model.dtype)
+    dv = prob.volfrac_grad * nele  # d(volume)/drho per element (=H column sums)
+    hist = {"compliance": [], "vol": []}
+    for it in range(n_iter):
+        c, dc = prob.compliance_and_grad(rho)
+        rho = oc_update(rho, dc, dv, volfrac)
+        hist["compliance"].append(float(c))
+        hist["vol"].append(float(jnp.mean(rho)))
+        if callback is not None:
+            callback(it, float(c), rho)
+    return rho, hist
