@@ -38,6 +38,31 @@ def main():
         f"vol {hist['vol'][-1]:.3f}"
     )
     # ASCII density map (top row first)
+    _ascii_map(rho, nx, ny)
+
+    # --- force inverter: the design problem the reference's spring /
+    # finverter hooks target (src/fem_solver.py:264-286) ---------------
+    from vbicm_tpu.mesh.rect import inverter_quad4_mesh
+    from vbicm_tpu.ops.topopt import optimize_mechanism
+    from vbicm_tpu.solver import make_finverter_vector
+
+    nx = ny = 32
+    mesh, in_node, out_node = inverter_quad4_mesh(nx, ny)
+    k = 20.0
+    m2 = build_fem_model(
+        mesh, dense=True, nodal_springs=[(in_node, 0, k), (out_node, 0, k)]
+    )
+    Lv = make_finverter_vector(m2, [(out_node, 0, 1)])
+    rho2, hist2 = optimize_mechanism(m2, Lv, volfrac=0.3, n_iter=60, rmin=1.4)
+    print(
+        f"\nforce inverter: output u_x {hist2['objective'][0]:+.4f} (uniform) "
+        f"-> {hist2['objective'][-1]:+.4f} (optimized) — motion inverted, "
+        f"vol {hist2['vol'][-1]:.3f}"
+    )
+    _ascii_map(rho2, nx, ny)
+
+
+def _ascii_map(rho, nx, ny):
     g = np.asarray(rho).reshape(ny, nx)
     chars = " .:-=+*#%@"
     for row in g[::-1]:

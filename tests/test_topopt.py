@@ -36,6 +36,26 @@ def test_autodiff_matches_classic_simp_sensitivity():
     np.testing.assert_allclose(np.asarray(dc), dc_classic, rtol=1e-9)
 
 
+def test_force_inverter_inverts_output_motion():
+    from vbicm_tpu.mesh.rect import inverter_quad4_mesh
+    from vbicm_tpu.ops.topopt import optimize_mechanism
+    from vbicm_tpu.solver import make_finverter_vector
+
+    mesh, in_node, out_node = inverter_quad4_mesh(16, 16)
+    k = 20.0  # 0.1 * E * thk
+    model = build_fem_model(
+        mesh, dense=True,
+        nodal_springs=[(in_node, 0, k), (out_node, 0, k)],
+    )
+    Lv = make_finverter_vector(model, [(out_node, 0, 1)])
+    rho, hist = optimize_mechanism(model, Lv, volfrac=0.3, n_iter=40, rmin=1.3)
+    # uniform initial design pushes the output in +x; the optimized
+    # mechanism INVERTS it
+    assert hist["objective"][0] > 0.0
+    assert hist["objective"][-1] < -0.1 * hist["objective"][0]
+    assert abs(hist["vol"][-1] - 0.3) < 5e-3
+
+
 def test_oc_optimization_reduces_compliance():
     model = _model()
     volfrac = 0.5

@@ -73,6 +73,52 @@ def rect_quad4_mesh(
     )
 
 
+def inverter_quad4_mesh(nx: int, ny: int, l: float = 1.0):
+    """Force-inverter design domain (Sigmund's classic, full model):
+    [0,l]^2 grid, the two left-edge corner nodes clamped, unit +x input
+    force at the left-edge midheight. Returns ``(mesh, in_node, out_node)``
+    — attach input/output springs at the x-dofs of those nodes via
+    ``build_fem_model(nodal_springs=...)`` and the output functional via
+    ``solver.make_finverter_vector``."""
+    xs = np.linspace(0.0, l, nx + 1)
+    ys = np.linspace(0.0, l, ny + 1)
+
+    def nid(i, j):
+        return j * (nx + 1) + i
+
+    nnodes = (nx + 1) * (ny + 1)
+    coords = np.zeros((nnodes, 2))
+    for j in range(ny + 1):
+        for i in range(nx + 1):
+            coords[nid(i, j)] = (xs[i], ys[j])
+    conn = np.zeros((nx * ny, 4), dtype=np.int32)
+    e = 0
+    for j in range(ny):
+        for i in range(nx):
+            conn[e] = [nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)]
+            e += 1
+    bc_nodes = np.array([nid(0, 0), nid(0, ny)], dtype=np.int32)
+    bc_flags = np.ones((2, 2), dtype=np.int32)
+    in_node = nid(0, ny // 2)
+    out_node = nid(nx, ny // 2)
+    load_nodes = np.array([in_node], dtype=np.int32)
+    load_vals = np.array([[1.0, 0.0]])
+    mesh = MeshData(
+        coords=coords,
+        conn=conn,
+        bc_nodes=bc_nodes,
+        bc_flags=bc_flags,
+        load_nodes=load_nodes,
+        load_vals=load_vals,
+        disp_nodes=np.zeros((0,), dtype=np.int32),
+        disp_vals=np.zeros((0, 2), dtype=np.float64),
+        space_dim=2,
+        max_node_dof=2,
+        max_ele_node=4,
+    )
+    return mesh, int(in_node), int(out_node)
+
+
 def cantilever_quad4_mesh(
     nx: int, ny: int, lx: float = 3.0, ly: float = 1.0
 ) -> MeshData:

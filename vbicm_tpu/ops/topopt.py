@@ -90,21 +90,114 @@ def make_compliance_problem(
 
 def oc_update(rho, dc, dv, volfrac, *, move: float = 0.2, damp: float = 0.5):
     """Classic optimality-criteria update with bisection on the volume
-    multiplier (host scalars; rho/dc/dv device arrays)."""
-    dc = jnp.minimum(dc, 0.0)  # compliance sensitivity is <= 0 in exact arith
+    multiplier. Runs entirely on HOST numpy — the ~45 bisection steps are
+    trivial arithmetic, and doing them on device costs a blocking
+    device->host round-trip each (latency-bound over the TPU tunnel)."""
+    rho, dc, dv = (np.asarray(x) for x in (rho, dc, dv))
+    dc = np.minimum(dc, 0.0)  # compliance sensitivity is <= 0 in exact arith
     l1, l2 = 1e-9, 1e9
     rho_new = rho
     while (l2 - l1) / (l1 + l2) > 1e-4:
         lmid = 0.5 * (l1 + l2)
         cand = rho * (-dc / (lmid * dv)) ** damp
-        rho_new = jnp.clip(
-            cand, jnp.maximum(rho - move, 0.0), jnp.minimum(rho + move, 1.0)
+        rho_new = np.clip(
+            cand, np.maximum(rho - move, 0.0), np.minimum(rho + move, 1.0)
         )
-        if float(jnp.mean(rho_new)) > volfrac:
+        if rho_new.mean() > volfrac:
             l1 = lmid
         else:
             l2 = lmid
-    return rho_new
+    return jnp.asarray(rho_new)
+
+
+def make_mechanism_problem(
+    model: FemModel,
+    Lv,
+    *,
+    E: float = 20.0,
+    v: float = 0.3,
+    penal: float = 3.0,
+    rmin: float = 1.5,
+    rho_min: float = 1e-3,
+):
+    """Compliant-mechanism objective ``Lv @ u(rho)`` (force-inverter:
+    minimize the output-port displacement — it goes NEGATIVE when the
+    mechanism inverts the input motion). This is exactly the design problem
+    the reference's force-inverter/nodal-spring hooks target
+    (``src/fem_solver.py:264-286``): input/output port springs enter K via
+    ``model.spring_diag``, the output functional via
+    ``solver.make_finverter_vector``. Returns a jitted
+    ``rho -> (Lv@u, grad)``."""
+    prob = make_compliance_problem(
+        model, E=E, v=v, penal=penal, rmin=rmin, rho_min=rho_min
+    )
+    c0, c1 = material_coeffs(model.stype, E, v)
+    ke = float(c0) * model.ke_lam + float(c1) * model.ke_mu
+    Hj = prob.filter_mat
+    free = model.free_dof
+    f_f = model.f_free
+    L_f = jnp.asarray(Lv)[free]
+    sd = model.spring_diag
+    sd_ff = None if sd is None else jnp.diag(sd[free])
+
+    def objective(rho):
+        rho_phys = Hj @ rho
+        scale = rho_min + (1.0 - rho_min) * rho_phys**penal
+        K = assemble_dense(scale[:, None, None] * ke, model.lm, model.ndof)
+        K_ff = K[free][:, free]
+        if sd_ff is not None:
+            K_ff = K_ff + sd_ff
+        u_f = jax.scipy.linalg.solve(K_ff, f_f, assume_a="pos")
+        return jnp.dot(L_f, u_f)
+
+    return jax.jit(jax.value_and_grad(objective)), prob.volfrac_grad
+
+
+def oc_update_signed(rho, dc, dv, volfrac, *, move: float = 0.1, damp: float = 0.3):
+    """OC update for objectives with sign-indefinite sensitivities
+    (mechanism design): clamp the ascent measure at a small positive floor
+    (99-line-code convention). Host numpy, like ``oc_update``."""
+    rho, dc, dv = (np.asarray(x) for x in (rho, dc, dv))
+    l1, l2 = 1e-9, 1e9
+    rho_new = rho
+    while (l2 - l1) / (l1 + l2) > 1e-4:
+        lmid = 0.5 * (l1 + l2)
+        B = np.maximum(-dc / (lmid * dv), 1e-10) ** damp
+        cand = rho * B
+        rho_new = np.clip(
+            cand, np.maximum(rho - move, 0.0), np.minimum(rho + move, 1.0)
+        )
+        if rho_new.mean() > volfrac:
+            l1 = lmid
+        else:
+            l2 = lmid
+    return jnp.asarray(rho_new)
+
+
+def optimize_mechanism(
+    model: FemModel,
+    Lv,
+    *,
+    volfrac: float = 0.3,
+    n_iter: int = 60,
+    penal: float = 3.0,
+    rmin: float = 1.5,
+    callback=None,
+):
+    """Force-inverter synthesis: minimize Lv @ u under the volume budget.
+    Returns (rho, history)."""
+    obj, vgrad = make_mechanism_problem(model, Lv, penal=penal, rmin=rmin)
+    rho = jnp.full((model.nele,), volfrac, model.dtype)
+    dv = vgrad * model.nele
+    hist = {"objective": [], "vol": []}
+    for it in range(n_iter):
+        c, dc = obj(rho)
+        rho = oc_update_signed(rho, dc, dv, volfrac)
+        hist["objective"].append(float(c))
+        hist["vol"].append(float(jnp.mean(rho)))
+        if callback is not None:
+            callback(it, float(c), rho)
+    return rho, hist
 
 
 def optimize_compliance(
