@@ -63,6 +63,44 @@ def test_rayleigh_damped_decay():
     assert abs(a_last / a_first - expect) < 0.02 * expect
 
 
+def test_spring_model_dynamics_consistent_with_modal():
+    """Springs enter K in the integrator, modal analysis, AND the energy
+    diagnostic consistently."""
+    from vbicm_tpu.mesh.rect import inverter_quad4_mesh
+
+    mesh, in_node, out_node = inverter_quad4_mesh(4, 4)
+    model = build_fem_model(
+        mesh, dense=True, with_mass=True,
+        nodal_springs=[(in_node, 0, 20.0), (out_node, 0, 20.0)],
+    )
+    w, phi = natural_frequencies(model, density=RHO, n_modes=1)
+    w1 = float(w[0])
+    T = 2 * np.pi / w1
+    dt, nsteps = T / 400, 800
+    integ = make_newmark_integrator(model, density=RHO, dt=dt)
+    u0 = jnp.asarray(phi[:, 0])
+    us, vels, _ = integ(u0, jnp.zeros_like(u0), jnp.zeros((nsteps, model.nfree)))
+    t = dt * np.arange(1, nsteps + 1)
+    exact = np.cos(w1 * t)[:, None] * np.asarray(phi[:, 0])[None, :]
+    err = np.max(np.abs(np.asarray(us) - exact)) / np.max(np.abs(exact))
+    assert err < 5e-3  # only holds if modal K includes the springs
+    en = np.asarray(total_energy(model, us, vels, density=RHO))
+    assert np.max(np.abs(en - en[0])) / en[0] < 1e-9  # spring PE included
+
+
+def test_initial_acceleration_f0_override():
+    model = _model()
+    w, _ = natural_frequencies(model, density=RHO, n_modes=1)
+    dt = 2 * np.pi / float(w[0]) / 200
+    integ = make_newmark_integrator(model, density=RHO, dt=dt)
+    z = jnp.zeros(model.nfree)
+    # ramp load starting at 0: with f0=0 the first-step response is O(dt^2)
+    F = jnp.outer(jnp.arange(1, 6) * dt, model.f_free)
+    us0, _, _ = integ(z, z, F, f0=jnp.zeros(model.nfree))
+    us_default, _, _ = integ(z, z, F)  # f0 defaults to F[0] (step-load kick)
+    assert float(jnp.max(jnp.abs(us0[0]))) < float(jnp.max(jnp.abs(us_default[0])))
+
+
 def test_damped_step_load_reaches_static_solution():
     model = _model()
     w, _ = natural_frequencies(model, density=RHO, n_modes=1)

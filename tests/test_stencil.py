@@ -45,6 +45,37 @@ def test_stencil_equals_assembled_matvec():
     np.testing.assert_allclose(np.asarray(qb), np.asarray(xb) @ K1.T, atol=1e-11)
 
 
+def test_pallas_row_kernel_interpret_matches_assembled():
+    """The production batched-f32 path (lane-interleaved 42-plane packing +
+    row kernel), in interpret mode against the assembled operator."""
+    from vbicm_tpu.ops.stencil import build_stencil_tables
+    from vbicm_tpu.ops.stencil_pallas import (
+        pack_w_interleaved,
+        stencil_affine_matvec_pallas,
+    )
+
+    model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
+    W = build_stencil_tables(model, NX, NY)
+    w_all = jnp.asarray(pack_w_interleaved(W))
+    K0, K1 = _assembled_parts(model)
+    rng = np.random.default_rng(2)
+    B = 4
+    u = jnp.asarray(rng.standard_normal((B, model.ndof)), jnp.float32)
+    c = jnp.asarray(rng.uniform(1.0, 3.0, (B, 2)), jnp.float32)
+    q = stencil_affine_matvec_pallas(
+        w_all, c, u, NY=NY + 1, NX=NX + 1, interpret=True
+    )
+    want = np.stack(
+        [
+            np.asarray(c[b, 0]) * (K0 @ np.asarray(u[b], np.float64))
+            + np.asarray(c[b, 1]) * (K1 @ np.asarray(u[b], np.float64))
+            for b in range(B)
+        ]
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(q), want, atol=3e-6 * scale)
+
+
 def test_grid_transfer_equals_gather_transfers():
     from vbicm_tpu.ops.multigrid import (
         cooks_prolongation,

@@ -45,6 +45,9 @@ def natural_frequencies(
         raise ValueError("modal analysis needs a dense model (dense=True)")
     c0, c1 = material_coeffs(model.stype, E, v)
     K = float(c0) * np.asarray(model.k_lam_ff) + float(c1) * np.asarray(model.k_mu_ff)
+    if model.has_springs:
+        free = np.asarray(model.free_dof)
+        K[np.diag_indices_from(K)] += np.asarray(model.spring_diag)[free]
     M = assemble_mass(model, density)
     w2, phi = scipy.linalg.eigh(K, M, subset_by_index=[0, n_modes - 1])
     return np.sqrt(np.maximum(w2, 0.0)), phi

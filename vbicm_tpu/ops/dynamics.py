@@ -78,18 +78,25 @@ def make_newmark_integrator(
     M_inv_j = jnp.asarray(M_inv, dtt)
     hp = jax.lax.Precision.HIGHEST
 
-    def integrate(u0, v0, F):
-        # consistent initial acceleration: M a0 = F0 - C v0 - K u0
-        f0 = F[0]
-        a0 = M_inv_j @ (f0 - Cj @ v0 - Kj @ u0)
+    damped = a_r != 0.0 or b_r != 0.0
+
+    def integrate(u0, v0, F, f0=None):
+        # consistent initial acceleration: M a0 = f(t=0) - C v0 - K u0.
+        # ``f0`` is the load AT t=0; it defaults to F[0] (exact for step /
+        # constant loads) — pass it explicitly for ramps/sinusoids whose
+        # t=0 value differs from the step-1 value.
+        f_t0 = F[0] if f0 is None else f0
+        a0 = M_inv_j @ (f_t0 - (Cj @ v0 if damped else 0.0) - Kj @ u0)
 
         def step(carry, f):
             u, vel, acc = carry
-            rhs = (
-                f
-                + jnp.matmul(Mj, b1 * u + b2 * vel + b3 * acc, precision=hp)
-                + jnp.matmul(Cj, g1 * u + g2 * vel + g3 * acc, precision=hp)
+            rhs = f + jnp.matmul(
+                Mj, b1 * u + b2 * vel + b3 * acc, precision=hp
             )
+            if damped:  # trace-time: skip the dense zero-C matvec otherwise
+                rhs = rhs + jnp.matmul(
+                    Cj, g1 * u + g2 * vel + g3 * acc, precision=hp
+                )
             u1 = jnp.matmul(Keff_inv_j, rhs, precision=hp)
             acc1 = b1 * (u1 - u) - b2 * vel - b3 * acc
             vel1 = vel + dt * ((1.0 - gamma) * acc + gamma * acc1)
@@ -107,11 +114,14 @@ def total_energy(model: FemModel, us, vels, *, E=20.0, v=0.3, density=1.0):
     from ..eval.modal import assemble_mass
 
     c0, c1 = material_coeffs(model.stype, E, v)
-    K = jnp.asarray(
-        float(c0) * np.asarray(model.k_lam_ff)
-        + float(c1) * np.asarray(model.k_mu_ff),
-        model.dtype,
+    Kh = float(c0) * np.asarray(model.k_lam_ff) + float(c1) * np.asarray(
+        model.k_mu_ff
     )
+    if model.has_springs:
+        # the integrator's operator includes diag(s) — so must the energy
+        free = np.asarray(model.free_dof)
+        Kh[np.diag_indices_from(Kh)] += np.asarray(model.spring_diag)[free]
+    K = jnp.asarray(Kh, model.dtype)
     M = jnp.asarray(assemble_mass(model, density), model.dtype)
     ke = 0.5 * jnp.einsum("ti,ij,tj->t", vels, M, vels)
     pe = 0.5 * jnp.einsum("ti,ij,tj->t", us, K, us)

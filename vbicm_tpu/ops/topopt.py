@@ -88,13 +88,20 @@ def make_compliance_problem(
     return TopoProblem(cg, Hj, ke, vol_grad)
 
 
-def oc_update(rho, dc, dv, volfrac, *, move: float = 0.2, damp: float = 0.5):
+def oc_update(rho, dc, dv, volfrac, *, move: float = 0.2, damp: float = 0.5,
+              H=None):
     """Classic optimality-criteria update with bisection on the volume
     multiplier. Runs entirely on HOST numpy — the ~45 bisection steps are
     trivial arithmetic, and doing them on device costs a blocking
-    device->host round-trip each (latency-bound over the TPU tunnel)."""
+    device->host round-trip each (latency-bound over the TPU tunnel).
+
+    ``H``: optional filter matrix; when given the budget is enforced on
+    the PHYSICAL volume mean(H@rho) — consistent with ``dv`` being the
+    filtered-volume gradient (row-normalized cone filters have column sums
+    != 1 near boundaries, so design and physical volume differ)."""
     rho, dc, dv = (np.asarray(x) for x in (rho, dc, dv))
     dc = np.minimum(dc, 0.0)  # compliance sensitivity is <= 0 in exact arith
+    vol = (lambda r: (H @ r).mean()) if H is not None else (lambda r: r.mean())
     l1, l2 = 1e-9, 1e9
     rho_new = rho
     while (l2 - l1) / (l1 + l2) > 1e-4:
@@ -103,7 +110,7 @@ def oc_update(rho, dc, dv, volfrac, *, move: float = 0.2, damp: float = 0.5):
         rho_new = np.clip(
             cand, np.maximum(rho - move, 0.0), np.minimum(rho + move, 1.0)
         )
-        if rho_new.mean() > volfrac:
+        if vol(rho_new) > volfrac:
             l1 = lmid
         else:
             l2 = lmid
@@ -131,8 +138,7 @@ def make_mechanism_problem(
     prob = make_compliance_problem(
         model, E=E, v=v, penal=penal, rmin=rmin, rho_min=rho_min
     )
-    c0, c1 = material_coeffs(model.stype, E, v)
-    ke = float(c0) * model.ke_lam + float(c1) * model.ke_mu
+    ke = prob.ke
     Hj = prob.filter_mat
     free = model.free_dof
     f_f = model.f_free
@@ -150,14 +156,17 @@ def make_mechanism_problem(
         u_f = jax.scipy.linalg.solve(K_ff, f_f, assume_a="pos")
         return jnp.dot(L_f, u_f)
 
-    return jax.jit(jax.value_and_grad(objective)), prob.volfrac_grad
+    return jax.jit(jax.value_and_grad(objective)), prob
 
 
-def oc_update_signed(rho, dc, dv, volfrac, *, move: float = 0.1, damp: float = 0.3):
+def oc_update_signed(rho, dc, dv, volfrac, *, move: float = 0.1, damp: float = 0.3,
+                     H=None):
     """OC update for objectives with sign-indefinite sensitivities
     (mechanism design): clamp the ascent measure at a small positive floor
-    (99-line-code convention). Host numpy, like ``oc_update``."""
+    (99-line-code convention). Host numpy + optional physical-volume
+    budget, like ``oc_update``."""
     rho, dc, dv = (np.asarray(x) for x in (rho, dc, dv))
+    vol = (lambda r: (H @ r).mean()) if H is not None else (lambda r: r.mean())
     l1, l2 = 1e-9, 1e9
     rho_new = rho
     while (l2 - l1) / (l1 + l2) > 1e-4:
@@ -167,7 +176,7 @@ def oc_update_signed(rho, dc, dv, volfrac, *, move: float = 0.1, damp: float = 0
         rho_new = np.clip(
             cand, np.maximum(rho - move, 0.0), np.minimum(rho + move, 1.0)
         )
-        if rho_new.mean() > volfrac:
+        if vol(rho_new) > volfrac:
             l1 = lmid
         else:
             l2 = lmid
@@ -186,15 +195,16 @@ def optimize_mechanism(
 ):
     """Force-inverter synthesis: minimize Lv @ u under the volume budget.
     Returns (rho, history)."""
-    obj, vgrad = make_mechanism_problem(model, Lv, penal=penal, rmin=rmin)
+    obj, prob = make_mechanism_problem(model, Lv, penal=penal, rmin=rmin)
     rho = jnp.full((model.nele,), volfrac, model.dtype)
-    dv = vgrad * model.nele
+    dv = prob.volfrac_grad * model.nele
+    H = np.asarray(prob.filter_mat)
     hist = {"objective": [], "vol": []}
     for it in range(n_iter):
         c, dc = obj(rho)
-        rho = oc_update_signed(rho, dc, dv, volfrac)
+        rho = oc_update_signed(rho, dc, dv, volfrac, H=H)
         hist["objective"].append(float(c))
-        hist["vol"].append(float(jnp.mean(rho)))
+        hist["vol"].append(float((H @ np.asarray(rho)).mean()))
         if callback is not None:
             callback(it, float(c), rho)
     return rho, hist
@@ -216,12 +226,14 @@ def optimize_compliance(
     nele = model.nele
     rho = jnp.full((nele,), volfrac, model.dtype)
     dv = prob.volfrac_grad * nele  # d(volume)/drho per element (=H column sums)
+    H = np.asarray(prob.filter_mat)
     hist = {"compliance": [], "vol": []}
     for it in range(n_iter):
         c, dc = prob.compliance_and_grad(rho)
-        rho = oc_update(rho, dc, dv, volfrac)
+        rho = oc_update(rho, dc, dv, volfrac, H=H)
         hist["compliance"].append(float(c))
-        hist["vol"].append(float(jnp.mean(rho)))
+        # report the PHYSICAL (filtered) material fraction
+        hist["vol"].append(float((H @ np.asarray(rho)).mean()))
         if callback is not None:
             callback(it, float(c), rho)
     return rho, hist

@@ -431,6 +431,12 @@ def make_two_level_solver(
             "node-dof layout; use the Jacobi-PCG or element-sharded solvers "
             "for equality-constrained models"
         )
+    if model.has_springs or coarse_model.has_springs:
+        raise NotImplementedError(
+            "nodal springs are carried on the dense solver path only "
+            "(see make_solver); the two-level operator would silently "
+            "drop them"
+        )
     from .ops.multigrid import cooks_prolongation, make_two_level_preconditioner
     from .ops.solve import make_matfree_affine_solver
 
