@@ -145,6 +145,33 @@ def main():
         )
     )
 
+    # gradient (adjoint) path at the scaled config: value_and_grad of a
+    # scalar functional through the batched two-level solve — the cost
+    # shape of full-order VI training (forward + adjoint CG per sample)
+    def scalar_obj(th):
+        y, h = jax.vmap(make_fh_fun(model, solve_free=solve2l))(th)
+        return jnp.sum(y**2) + jnp.sum(h**2)
+
+    vg = jax.jit(jax.value_and_grad(scalar_obj))
+    val, g = vg(thetas)
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    val, g = vg(thetas)
+    jax.block_until_ready(g)
+    dt_g = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "scaled_grad_fh_per_sec_fullorder",
+                "value": round(n_sam / dt_g, 2),
+                "unit": "grad-samples/s",
+                "mesh": f"{nx}x{ny}",
+                "batch": n_sam,
+                "grad_finite": bool(jnp.all(jnp.isfinite(g))),
+            }
+        )
+    )
+
 
 def serving_metric():
     """Amortized-inference serving throughput: y -> (posterior, predictive)
