@@ -101,6 +101,53 @@ def test_initial_acceleration_f0_override():
     assert float(jnp.max(jnp.abs(us0[0]))) < float(jnp.max(jnp.abs(us_default[0])))
 
 
+def test_finite_strain_newmark_linear_limit_and_equilibrium():
+    """Nonlinear (Neo-Hookean) implicit Newmark: reproduces the linear
+    integrator in the small-amplitude limit, and holds a finite-strain
+    static equilibrium exactly."""
+    import dataclasses
+
+    from vbicm_tpu.ops.dynamics import make_newmark_finite_strain
+    from vbicm_tpu.ops.element import material_coeffs
+    from vbicm_tpu.ops.finite_strain import NeoHookean, solve_finite_strain
+
+    model = _model()
+    lam, mu = material_coeffs(model.stype, 20.0, 0.3)
+    mat = NeoHookean(lam=jnp.asarray(lam), mu=jnp.asarray(mu))
+    w, _ = natural_frequencies(model, density=RHO, n_modes=1)
+    T = 2 * np.pi / float(w[0])
+    dt, nsteps = T / 100, 50
+
+    # small-amplitude limit: tiny step load, nonlinear == linear to O(eps)
+    eps = 1e-6
+    F = jnp.broadcast_to(eps * model.f_ext, (nsteps, model.ndof))
+    integ_nl = make_newmark_finite_strain(model, mat, density=RHO, dt=dt)
+    us_nl, _, _ = integ_nl(
+        jnp.zeros(model.ndof), jnp.zeros(model.ndof), F
+    )
+    integ_lin = make_newmark_integrator(model, density=RHO, dt=dt)
+    free = np.asarray(model.free_dof)
+    F_lin = jnp.broadcast_to(eps * model.f_free, (nsteps, model.nfree))
+    us_lin, _, _ = integ_lin(
+        jnp.zeros(model.nfree), jnp.zeros(model.nfree), F_lin
+    )
+    rel = np.max(
+        np.abs(np.asarray(us_nl)[:, free] - np.asarray(us_lin))
+    ) / np.max(np.abs(np.asarray(us_lin)))
+    assert rel < 1e-4  # O(eps) geometric-nonlinearity correction only
+
+    # finite-strain equilibrium hold: start AT the static Neo-Hookean
+    # solution under the full load with v0=0 -> trajectory stays put
+    res = solve_finite_strain(model, float(lam), float(mu), n_steps=2)
+    u_eq = res.u
+    F_full = jnp.broadcast_to(model.f_ext * model.free_mask, (20, model.ndof))
+    us_eq, vels_eq, _ = integ_nl(u_eq, jnp.zeros(model.ndof), F_full)
+    drift = float(jnp.max(jnp.abs(us_eq[-1] - u_eq))) / float(
+        jnp.max(jnp.abs(u_eq))
+    )
+    assert drift < 1e-8
+
+
 def test_damped_step_load_reaches_static_solution():
     model = _model()
     w, _ = natural_frequencies(model, density=RHO, n_modes=1)

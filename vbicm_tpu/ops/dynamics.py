@@ -108,6 +108,105 @@ def make_newmark_integrator(
     return integrate
 
 
+def make_newmark_finite_strain(
+    model: FemModel,
+    mat,
+    *,
+    density: float = 1.0,
+    dt: float,
+    beta: float = 0.25,
+    gamma: float = 0.5,
+    newton_tol: float = 1e-12,
+    newton_iter: int = 20,
+    cg_tol: float = 1e-11,
+    cg_maxiter: int = 2000,
+):
+    """Implicit NONLINEAR (finite-strain Neo-Hookean) Newmark dynamics.
+
+    Composition of the energy-based finite-strain module and the Newmark
+    scheme, fully matrix-free: each time step solves
+    ``M a(u) + grad Psi(u) = f`` by Newton with the exact consistent
+    tangent ``b1 M + H_Psi(u)`` applied as an autodiff HVP inside CG, and
+    the whole trajectory is ONE ``lax.scan`` (the Newton and CG loops are
+    ``lax.while_loop``s, so everything jits/differentiates). The linear
+    small-amplitude limit reproduces ``make_newmark_integrator``.
+
+    ``mat``: a ``NeoHookean(lam, mu)``. Returns
+    ``integrate(u0, v0, F, f0=None) -> (us, vels, accs)`` on FULL dof
+    vectors (fixed dofs zero); ``F (nsteps, ndof)`` external loads.
+    """
+    from .assembly import make_sorted_scatter
+    from .finite_strain import NeoHookean, _linear_jacobi, make_total_potential
+    from .newton import newton_raphson
+    from .solve import pcg
+
+    if model.me_unit is None:
+        raise ValueError("build the model with with_mass=True")
+    mask = model.free_mask
+    lm = model.lm
+    scatter = make_sorted_scatter(lm, model.ndof)
+    me = density * model.me_unit
+
+    def Mv(v):
+        return scatter(jnp.einsum("eij,ej->ei", me, v[lm]))
+
+    b1 = 1.0 / (beta * dt * dt)
+    b2 = 1.0 / (beta * dt)
+    b3 = 1.0 / (2.0 * beta) - 1.0
+
+    # elastic-only potential (external work handled explicitly per step)
+    potential = make_total_potential(model, f_ext=jnp.zeros(model.ndof, model.dtype))
+    grad_int = jax.grad(potential, argnums=0)
+    # Jacobi preconditioner of the effective tangent b1*M + K_lin
+    m_diag = scatter(jnp.diagonal(me, axis1=-2, axis2=-1))
+    k_minv = _linear_jacobi(model)(mat.lam, mat.mu)
+    d_eff = 1.0 / k_minv + b1 * m_diag
+    d_eff = jnp.where(mask > 0, d_eff, 1.0)
+    minv_eff = 1.0 / d_eff
+    m_only_minv = jnp.where(mask > 0, 1.0 / jnp.where(m_diag == 0, 1.0, m_diag), 1.0)
+
+    def integrate(u0, v0, F, f0=None):
+        f_t0 = F[0] if f0 is None else f0
+        # consistent a0: M a0 = f(0) - grad Psi(u0), solved by CG on M
+        r0 = (f_t0 - grad_int(u0, mat)) * mask
+
+        def mv_mass(v):
+            return Mv(v * mask) * mask + v * (1.0 - mask)
+
+        a0, _, _ = pcg(mv_mass, r0, m_only_minv, tol=cg_tol, maxiter=cg_maxiter)
+        a0 = a0 * mask
+
+        def step(carry, f):
+            u_n, v_n, a_n = carry
+
+            def residual(u):
+                acc = b1 * (u - u_n) - b2 * v_n - b3 * a_n
+                return (Mv(acc * mask) + grad_int(u, mat) - f) * mask
+
+            def tangent_solve(x, r):
+                def hvp(v):
+                    vm = v * mask
+                    _, hv = jax.jvp(residual, (x,), (vm,))
+                    return hv * mask + v * (1.0 - mask)
+
+                du, _, _ = pcg(hvp, -r * mask, minv_eff, tol=cg_tol, maxiter=cg_maxiter)
+                return du * mask
+
+            res = newton_raphson(
+                residual, tangent_solve, u_n, tol_cr=newton_tol,
+                max_iter=newton_iter,
+            )
+            u1 = res.u
+            a1 = (b1 * (u1 - u_n) - b2 * v_n - b3 * a_n) * mask
+            v1 = v_n + dt * ((1.0 - gamma) * a_n + gamma * a1)
+            return (u1, v1, a1), (u1, v1, a1)
+
+        _, (us, vels, accs) = jax.lax.scan(step, (u0 * mask, v0 * mask, a0), F)
+        return us, vels, accs
+
+    return integrate
+
+
 def total_energy(model: FemModel, us, vels, *, E=20.0, v=0.3, density=1.0):
     """Trajectory of total mechanical energy 0.5 v'Mv + 0.5 u'Ku (free dofs)
     — the conservation diagnostic for undamped average-acceleration runs."""
