@@ -66,3 +66,25 @@ def test_euler_cantilever_column():
     mx = np.abs(m.reshape(-1, 2)[:, 0]).max()
     my = np.abs(m.reshape(-1, 2)[:, 1]).max()
     assert mx > 5.0 * my
+
+
+def test_buckling_rejects_prescribed_displacement_models():
+    # Advisor r2: K_G scales only the free-dof state by the load factor, so
+    # displacement-driven models are out of scope and must be rejected.
+    import dataclasses
+    import pytest
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+
+    mesh = cooks_membrane_mesh(4, 2)
+    right = (np.arange(3, dtype=np.int32) * 5) + 4
+    mesh = dataclasses.replace(
+        mesh,
+        load_nodes=np.zeros((0,), dtype=np.int32),
+        load_vals=np.zeros((0, 2), dtype=np.float64),
+        disp_nodes=right,
+        disp_vals=np.tile(np.array([[0.01, 0.05]]), (3, 1)),
+    )
+    model = build_fem_model(mesh, dense=True)
+    assert model.has_prescribed
+    with pytest.raises(NotImplementedError, match="force-driven"):
+        buckling_factors(model)

@@ -190,3 +190,16 @@ def test_implicit_adjoint_gradients():
     fd_mu = (float(qoi(lam, mu + eps)) - float(qoi(lam, mu - eps))) / (2 * eps)
     assert abs(float(glam) - fd_lam) < 2e-6 * max(1.0, abs(fd_lam))
     assert abs(float(gmu) - fd_mu) < 2e-6 * max(1.0, abs(fd_mu))
+
+
+def test_finite_strain_rejects_plane_stress():
+    # Advisor r2: stype=1 coefficients are condensed plane-stress moduli,
+    # not Lame (lam, mu), and the energy assumes F33 = 1 — reject loudly.
+    import pytest
+    from vbicm_tpu.mesh.rect import rect_quad4_mesh
+    from vbicm_tpu.ops.finite_strain import shape_gradients_from_B
+
+    mesh = rect_quad4_mesh(2, 2, lx=1.0, ly=1.0, top_load=(0.0, -1.0))
+    model = build_fem_model(mesh, SectionCard(intp=2, thk=1.0, stype=1))
+    with pytest.raises(NotImplementedError, match="plane-strain"):
+        shape_gradients_from_B(model)

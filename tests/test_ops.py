@@ -347,3 +347,47 @@ def test_sorted_scatter_matches_at_add():
     got_b = jax.vmap(mv)(kes, us)
     ref_b = jax.vmap(lambda k, x: element_matvec(k, model.lm, x, model.ndof))(kes, us)
     np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b), atol=1e-12)
+
+
+def test_int3d_tensor_and_special_rules():
+    # tensor orders integrate 3-D monomials exactly
+    for order in range(1, 6):
+        pts, wts = quadrature.int3d(order)
+        assert pts.shape == (order**3, 3)
+        np.testing.assert_allclose(wts.sum(), 8.0, rtol=1e-14)
+        for p in range(2 * order - 1):
+            exact = ((1 - (-1) ** (p + 1)) / (p + 1)) * 4.0
+            np.testing.assert_allclose(
+                (wts * pts[:, 0] ** p).sum(), exact, atol=1e-13)
+
+    # special rules: faithful transcription of the reference tables
+    # (src/fem_preprocess.py:677-700; dead code there — no 3-D element
+    # exists in the reference — kept for table completeness)
+    ig = np.array([-1, 1, 1, -1], dtype=np.float64)
+    jg = np.array([-1, -1, 1, 1], dtype=np.float64)
+
+    pts, wts = quadrature.int3d(-9)
+    g = np.sqrt(0.6)
+    exp = np.zeros((9, 4))
+    for i in range(4):
+        exp[i, :3] = [ig[i] * g, jg[i] * g, g]
+        exp[i + 4, :3] = [ig[i] * g, jg[i] * g, -g]
+        exp[i, 3] = exp[i + 4, 3] = 5.0 / 9.0
+    exp[8, 3] = 1.034482758620690  # reference constant 'thty29' = 30/29
+    np.testing.assert_allclose(pts, exp[:, :3], atol=1e-14)
+    np.testing.assert_allclose(wts, exp[:, 3], atol=1e-12)
+
+    pts, wts = quadrature.int3d(-4)
+    g = 1.0 / np.sqrt(3.0)
+    exp_x = ig * g
+    exp_y = np.array([-g, g, -g, g])
+    exp_z = jg * g
+    np.testing.assert_allclose(pts, np.stack([exp_x, exp_y, exp_z], axis=1), atol=1e-15)
+    np.testing.assert_allclose(wts, 2.0)
+    # degree-2 exactness of the 4-point rule
+    np.testing.assert_allclose((wts * pts[:, 0] ** 2).sum(), 8.0 / 3.0, rtol=1e-14)
+    np.testing.assert_allclose((wts * pts[:, 0] * pts[:, 1]).sum(), 0.0, atol=1e-15)
+
+    # dispatch mirrors reference quadr3d (straight forward to int3d)
+    p2, w2 = quadrature.quadr3d(2, 8)
+    np.testing.assert_allclose(p2, quadrature.int3d(2)[0])

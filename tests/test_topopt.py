@@ -66,3 +66,30 @@ def test_oc_optimization_reduces_compliance():
     # filter keeps densities in bounds and produces a structure (not uniform)
     assert float(jnp.min(rho)) >= 0.0 and float(jnp.max(rho)) <= 1.0
     assert float(jnp.std(rho)) > 0.2
+
+
+def test_compliance_includes_nodal_springs():
+    # Advisor r2: compliance() must include model.spring_diag (like the
+    # mechanism objective already does) — verified against a scipy oracle.
+    model = build_fem_model(
+        cantilever_quad4_mesh(NX, NY), dense=True,
+        nodal_springs=[(5, 1, 4.0), (11, 0, 2.5)],
+    )
+    prob = make_compliance_problem(model, rmin=1e-9)
+    rng = np.random.default_rng(1)
+    rho = jnp.asarray(rng.uniform(0.3, 0.9, model.nele))
+    c, _ = prob.compliance_and_grad(rho)
+
+    rho_min, penal = 1e-3, 3.0
+    scale = rho_min + (1 - rho_min) * np.asarray(rho) ** penal
+    K = np.array(assemble_dense(
+        jnp.asarray(scale)[:, None, None] * prob.ke, model.lm, model.ndof))
+    K[np.diag_indices_from(K)] += np.asarray(model.spring_diag)
+    free = np.asarray(model.free_dof)
+    f = np.asarray(model.f_free)
+    u_f = np.linalg.solve(K[np.ix_(free, free)], f)
+    np.testing.assert_allclose(float(c), float(f @ u_f), rtol=1e-10)
+
+    # and it differs from the spring-less compliance
+    c0, _ = make_compliance_problem(_model(), rmin=1e-9).compliance_and_grad(rho)
+    assert abs(float(c) - float(c0)) > 1e-6

@@ -78,6 +78,15 @@ def buckling_factors(
     lam, mu = float(c0), float(c1)
     if model.stype not in (2, 4):
         raise NotImplementedError("plane strain (2) or 3-D (4) models")
+    if model.has_prescribed:
+        # geometric_stiffness scales only the free-dof state by s while
+        # make_total_potential adds u_prescribed at full value, so K_G would
+        # not be the load-factor derivative of the tangent for a
+        # displacement-driven model.
+        raise NotImplementedError(
+            "linearized buckling requires a force-driven model; prescribed "
+            "nonzero displacements are not scaled with the load factor"
+        )
 
     u0 = fea_solution(model, _material_from(lam, mu)).u
     Kg = geometric_stiffness(model, lam, mu, u0)

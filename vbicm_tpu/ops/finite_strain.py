@@ -44,10 +44,13 @@ def shape_gradients_from_B(model):
     """Recover per-(element, qpt) global shape gradients G (nele, nqpt, nel,
     ndm) from the model's strain-displacement matrices: row d of B holds
     dN_i/dx_d at column ndm*i+d (see ``ops.element.bmatrix``/``bmatrix_3d``)."""
-    if model.stype == 3:
+    if model.stype not in (2, 4):
+        # Plane stress (1) is also rejected: the Neo-Hookean energy assumes
+        # F33 = 1 (plane-strain kinematics) and material_coeffs(stype=1)
+        # returns condensed plane-stress coefficients, not Lame (lam, mu).
         raise NotImplementedError(
-            "finite-strain kinematics are Cartesian (plane strain / 3-D); "
-            "the axisymmetric hoop row has no deformation-gradient reading"
+            "finite-strain kinematics assume Cartesian plane-strain (stype=2) "
+            "or 3-D (stype=4); plane stress / axisymmetric models are rejected"
         )
     ndm = model.ndm
     B = np.asarray(model.B)  # (nele, nqpt, nrows, ndm*nel)

@@ -74,12 +74,17 @@ def make_compliance_problem(
     f_f = model.f_free
     lm = model.lm
     ndof = model.ndof
+    # Nodal springs are a density-independent diagonal addition to K_ff
+    # (same convention as make_mechanism_problem below).
+    s_ff = jnp.diag(model.spring_diag[free]) if model.has_springs else None
 
     def compliance(rho):
         rho_phys = Hj @ rho
         scale = rho_min + (1.0 - rho_min) * rho_phys**penal
         K = assemble_dense(scale[:, None, None] * ke, lm, ndof)
         K_ff = K[free][:, free]
+        if s_ff is not None:
+            K_ff = K_ff + s_ff
         u_f = jax.scipy.linalg.solve(K_ff, f_f, assume_a="pos")
         return jnp.dot(f_f, u_f)
 
