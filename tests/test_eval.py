@@ -20,16 +20,42 @@ from vbicm_tpu.config import MaterialCard
 
 
 def test_metropolis_standard_normal():
-    """Sampler recovers N(0, I) moments on an analytic target."""
+    """Sampler recovers N(0, I) moments on an analytic target, burn-in
+    adaptation lands near the target acceptance, and diagnostics certify
+    the chain (split-R-hat ~ 1, healthy bulk ESS)."""
     logpost = lambda th: -0.5 * jnp.sum(th**2)
     res = metropolis(
         jax.random.PRNGKey(0), logpost, d=2, n_samples=4000, burn=500, n_chains=8,
-        step_size=1.0,
+        step_size=5.0,  # deliberately far off; adaptation must recover
     )
     s = res.samples.reshape(-1, 2)
-    assert 0.1 < res.accept_rate < 0.9
-    np.testing.assert_allclose(s.mean(axis=0), 0.0, atol=0.05)
-    np.testing.assert_allclose(s.std(axis=0), 1.0, atol=0.05)
+    assert 0.15 < res.accept_rate < 0.5  # adapted toward target 0.3
+    assert res.step_size.shape == (8,)
+    assert np.all(res.step_size < 5.0)  # scales pulled down from 5.0
+    np.testing.assert_allclose(s.mean(axis=0), 0.0, atol=0.06)
+    np.testing.assert_allclose(s.std(axis=0), 1.0, atol=0.06)
+    assert np.all(res.rhat < 1.02), res.rhat
+    assert np.all(res.ess > 500), res.ess  # of 32000 draws
+    # posterior-mean MCSE = sd/sqrt(ESS) really bounds the observed error
+    assert np.all(np.abs(s.mean(axis=0)) < 6 * res.mean_mcse())
+
+
+def test_ess_rhat_calibration():
+    """ess_rhat on IID draws reports ESS ~ N and R-hat ~ 1; on a stuck
+    chain it flags divergence."""
+    from vbicm_tpu.eval.mcmc import ess_rhat
+
+    rng = np.random.default_rng(0)
+    iid = rng.standard_normal((4, 2000, 2))
+    ess, rhat = ess_rhat(iid)
+    assert np.all(rhat < 1.01)
+    assert np.all(ess > 0.6 * 8000), ess
+    # chains stuck at different values: R-hat blows up, ESS collapses
+    stuck = np.stack([np.full((2000, 2), m, float) for m in (-3, -1, 1, 3)])
+    stuck += 0.01 * rng.standard_normal(stuck.shape)
+    ess_s, rhat_s = ess_rhat(stuck)
+    assert np.all(rhat_s > 3.0)
+    assert np.all(ess_s < 100)
 
 
 def test_fem_logpost_and_short_chain(cooks_model):

@@ -49,15 +49,23 @@ def test_vi_posterior_vs_mcmc(trained):
     )
     s = mc.samples.reshape(-1, 2)
 
+    # chain quality gate: the "ground truth" must itself be converged
+    # (round-2 weak #8: tolerances were hand-picked with no ESS control)
+    assert np.all(mc.rhat < 1.05), mc.rhat
+    assert np.all(mc.ess > 200), mc.ess
+    mcse = mc.mean_mcse()
+
     # theta_1 (E-scale) is identified by the data: VI and MCMC must agree
-    assert abs(tm[0] - s[:, 0].mean()) < 0.25, (tm, s.mean(axis=0))
+    # within a VI-approximation budget (0.15, calibrated: this config
+    # empirically tracks to <0.1) plus the chain's own uncertainty
+    assert abs(tm[0] - s[:, 0].mean()) < 0.15 + 5 * mcse[0], (tm, s.mean(axis=0))
     # theta_2 is barely identified -> posterior ~ prior; both should say so
-    assert abs(tm[1] - s[:, 1].mean()) < 0.5
-    assert 0.5 < np.sqrt(tsig[1]) < 1.5  # near the prior std 1
+    assert abs(tm[1] - s[:, 1].mean()) < 0.4 + 5 * mcse[1]
+    assert 0.6 < np.sqrt(tsig[1]) < 1.4  # near the prior std 1
     # posterior std of theta_1: same order between VI and MCMC (mean-field
     # VI typically slightly tighter)
     ratio = np.sqrt(tsig[0]) / s[:, 0].std()
-    assert 0.4 < ratio < 1.8, ratio
+    assert 0.5 < ratio < 1.6, ratio
 
 
 def test_step2_predictive_matches_posterior_moments(trained):
@@ -140,6 +148,8 @@ def test_posterior_accuracy_vs_mcmc_quantified(cooks_model):
         logpost = make_fem_logpost(fh, y0, cfg.sig_e)
         ch = metropolis(jax.random.PRNGKey(iy), logpost, n_chains=8,
                         n_samples=2000, burn=800, step_size=0.4)
+        assert np.all(ch.rhat < 1.05), (iy, ch.rhat)
+        assert np.all(ch.ess > 200), (iy, ch.ess)
         s = np.asarray(ch.samples.reshape(-1, 2))
         diffs.append(abs(float(tm[0, 0]) - s[:, 0].mean()))
         ratios.append(float(tsg[0, 0]) / s[:, 0].var())

@@ -3,12 +3,17 @@
 The reference validates VI against a random-walk Metropolis chain
 (``sampyl.Metropolis`` over theta with log-posterior = Gaussian likelihood of
 y given FEM f(theta) + N(0, I) prior, ``src/postprocess_lib.py:77-103``) —
-each proposal there runs one FEM solve through the TF graph, sequentially.
+each proposal there runs one FEM solve through the TF graph, sequentially,
+and sampyl adapts its proposal scale during burn-in.
 
 Here the sampler is a pure-JAX ``lax.scan`` with the *vmapped* FEM
 log-density: many independent chains advance in lockstep, so every MCMC step
 is one batched Cholesky across chains — chains parallelize across chips
-exactly like posterior samples do in training.
+exactly like posterior samples do in training. Proposal adaptation is
+per-chain Robbins-Monro on the log step size during burn-in (frozen after,
+so the kept samples are exact Metropolis); chain quality is quantified by
+split-R-hat and bulk ESS (Vehtari et al. 2021 style), which the statistical
+tests use to derive their tolerances instead of hand-picked bands.
 """
 from __future__ import annotations
 
@@ -24,6 +29,16 @@ import numpy as np
 class MetropolisResult:
     samples: np.ndarray  # (n_chains, n_kept, d)
     accept_rate: float
+    step_size: Optional[np.ndarray] = None  # (n_chains,) final adapted scales
+    ess: Optional[np.ndarray] = None  # (d,) bulk effective sample size
+    rhat: Optional[np.ndarray] = None  # (d,) split-R-hat
+
+    def mean_mcse(self) -> np.ndarray:
+        """Monte-Carlo standard error of the posterior-mean estimate per
+        dimension: sd / sqrt(ESS) — the statistically honest tolerance for
+        comparing posterior means against this chain."""
+        flat = self.samples.reshape(-1, self.samples.shape[-1])
+        return flat.std(axis=0, ddof=1) / np.sqrt(np.maximum(self.ess, 1.0))
 
 
 def make_fem_logpost(fh: Callable, y_obs, sig_e: float):
@@ -52,33 +67,107 @@ def metropolis(
     n_chains: int = 8,
     step_size: float = 0.5,
     init: Optional[jnp.ndarray] = None,
+    adapt: bool = True,
+    target_accept: float = 0.3,
 ) -> MetropolisResult:
-    """Random-walk Metropolis, vmapped over chains, scanned over steps."""
+    """Random-walk Metropolis, vmapped over chains, scanned over steps.
+
+    ``adapt=True`` tunes a PER-CHAIN log step size toward ``target_accept``
+    during burn-in only (Robbins-Monro, gamma_t = t^-0.6), mirroring
+    sampyl's burn-in scale adaptation (``src/postprocess_lib.py:92-94``);
+    sampling steps use the frozen scales, so detailed balance holds for
+    every kept draw. Diagnostics (split-R-hat, bulk ESS with Geyer initial
+    monotone truncation) are computed on the kept samples.
+    """
     n_steps = burn + n_samples * thin
 
     if init is None:
         init = jnp.zeros((n_chains, d))
+    else:
+        init = jnp.asarray(init)
     logp0 = jax.vmap(logpost)(init)
+    log_s0 = jnp.full((n_chains,), jnp.log(step_size), init.dtype)
 
-    def one_step(carry, k):
-        theta, logp = carry
+    def one_step(carry, inp):
+        theta, logp, log_s = carry
+        k, t = inp
         k1, k2 = jax.random.split(k)
-        prop = theta + step_size * jax.random.normal(k1, theta.shape, theta.dtype)
+        prop = theta + jnp.exp(log_s)[:, None] * jax.random.normal(
+            k1, theta.shape, theta.dtype
+        )
         logp_prop = jax.vmap(logpost)(prop)
+        log_ratio = logp_prop - logp
         log_u = jnp.log(jax.random.uniform(k2, (theta.shape[0],)))
-        accept = log_u < (logp_prop - logp)
+        accept = log_u < log_ratio
         theta = jnp.where(accept[:, None], prop, theta)
         logp = jnp.where(accept, logp_prop, logp)
-        return (theta, logp), (theta, accept)
+        if adapt:
+            alpha = jnp.minimum(1.0, jnp.exp(log_ratio))  # expected acceptance
+            gamma = (t + 1.0) ** (-0.6)
+            in_burn = t < burn
+            log_s = jnp.where(
+                in_burn, log_s + gamma * (alpha - target_accept), log_s
+            )
+        return (theta, logp, log_s), (theta, accept)
 
     keys = jax.random.split(key, n_steps)
-    (_, _), (chain, accepts) = jax.lax.scan(one_step, (init, logp0), keys)
+    ts = jnp.arange(n_steps, dtype=init.dtype)
+    (_, _, log_s), (chain, accepts) = jax.lax.scan(
+        one_step, (init, logp0, log_s0), (keys, ts)
+    )
     # chain: (n_steps, n_chains, d) -> drop burn-in, thin, chains-major
     kept = chain[burn::thin]  # (n_samples, n_chains, d)
     samples = np.asarray(jnp.swapaxes(kept, 0, 1))
+    ess, rhat = ess_rhat(samples)
     return MetropolisResult(
-        samples=samples, accept_rate=float(jnp.mean(accepts[burn:]))
+        samples=samples,
+        accept_rate=float(jnp.mean(accepts[burn:])),
+        step_size=np.asarray(jnp.exp(log_s)),
+        ess=ess,
+        rhat=rhat,
     )
+
+
+def ess_rhat(samples: np.ndarray):
+    """(bulk ESS (d,), split-R-hat (d,)) for samples (n_chains, n_kept, d).
+
+    Split-R-hat: each chain halved -> 2M sequences; R-hat = sqrt(var+ / W).
+    ESS: M*N / (1 + 2 sum rho_t) with chain-averaged autocorrelations from
+    FFT and Geyer's initial-monotone-positive-sequence truncation.
+    """
+    samples = np.asarray(samples, np.float64)
+    m, n, d = samples.shape
+    half = n // 2
+    # ---- split R-hat ----
+    split = samples[:, : 2 * half].reshape(m * 2, half, d)
+    cm = split.mean(axis=1)  # (2m, d)
+    W = split.var(axis=1, ddof=1).mean(axis=0)  # (d,)
+    B = half * cm.var(axis=0, ddof=1)  # (d,)
+    var_plus = (half - 1) / half * W + B / half
+    rhat = np.sqrt(var_plus / np.maximum(W, 1e-300))
+
+    # ---- bulk ESS on the split sequences ----
+    seqs = split - split.mean(axis=1, keepdims=True)  # center per sequence
+    nfft = int(2 ** np.ceil(np.log2(2 * half)))
+    f = np.fft.rfft(seqs, n=nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :half].real
+    acov /= half  # biased autocovariance per sequence
+    mean_acov = acov.mean(axis=0)  # (half, d)
+    # Vehtari: rho_t = 1 - (W - mean within-seq acov_t) / var_plus
+    rho = 1.0 - (W[None, :] - mean_acov) / np.maximum(var_plus[None, :], 1e-300)
+    ess = np.empty(d)
+    for j in range(d):
+        # Geyer: sum consecutive pairs while positive, enforce monotone
+        p = rho[:, j]
+        tmax = (len(p) // 2) * 2
+        pair = p[:tmax].reshape(-1, 2).sum(axis=1)  # Gamma_k
+        k_pos = np.argmax(pair <= 0) if np.any(pair <= 0) else len(pair)
+        g = pair[:k_pos]
+        g = np.minimum.accumulate(g) if len(g) else g
+        tau = -1.0 + 2.0 * g.sum()  # rho_0 = 1 included via -1 + 2*sum(pairs)
+        tau = max(tau, 1.0 / np.log10(max(m * n, 10)))
+        ess[j] = min(m * n / tau, float(m * n))
+    return ess, rhat
 
 
 def posterior_predictive_z(key, fh_batch: Callable, theta_samples, sig_eta: float):

@@ -1,3 +1,3 @@
-from . import quadrature, shape, element, vonmises, assembly, solve
+from . import quadrature, shape, element, vonmises, assembly, solve, umat
 
-__all__ = ["quadrature", "shape", "element", "vonmises", "assembly", "solve"]
+__all__ = ["quadrature", "shape", "element", "vonmises", "assembly", "solve", "umat"]

@@ -304,9 +304,16 @@ class TwoStepTrainer:
 
     # ------------------------------------------------------------------
     def train_step2(
-        self, y_data, e_data, theta_params, logz_mean_post, logz_sig_post, key, num_epochs=None
+        self, y_data, e_data, theta_params, logz_mean_post, logz_sig_post, key,
+        num_epochs=None, resume=False,
     ):
-        """Fit p(z|y) with theta-net frozen. Returns (z_params, history)."""
+        """Fit p(z|y) with theta-net frozen. Returns (z_params, history).
+
+        ``resume=True`` restores params/optimizer/epoch from the latest
+        full-state checkpoint under ``results_path/step2`` if present
+        (symmetric with ``train_step1`` — the reference can only restart
+        step 2 from scratch, ``main_custom_training.py:416-434``).
+        """
         t = self.tcfg
         num_epochs = num_epochs if num_epochs is not None else t.num_epoch2
         y_data = jnp.asarray(y_data, self.dtype)
@@ -322,6 +329,13 @@ class TwoStepTrainer:
         z_params = self.z_net.init(k_init, y_data[:1])
         opt = self._opt_step2()
         opt_state = opt.init(z_params)
+        start_epoch = 0
+        hist = np.zeros(num_epochs)
+        if resume:
+            restored = self.load_ckpt("step2", z_params, opt_state)
+            if restored is not None:
+                z_params, opt_state, start_epoch, old_hist = restored
+                hist[: min(len(old_hist), num_epochs)] = old_hist[:num_epochs]
 
         @jax.jit
         def step(z_params, opt_state, y_b, lm_b, ls_b):
@@ -353,10 +367,9 @@ class TwoStepTrainer:
             )
             return z_params, opt_state, losses[-1]
 
-        hist = np.zeros(num_epochs)
         save_freq = max(1, num_epochs // 5)
         loss_val = 0.0
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             tic = time.time()
             key, k_perm = jax.random.split(key)
             perm = jax.random.permutation(k_perm, n)
@@ -396,7 +409,9 @@ class TwoStepTrainer:
             opt_state, fired = self._lr_decay(opt_state, hist, epoch, loss_val)
             hist[epoch] = loss_val
         if self.results_path is not None:
-            self._save_ckpt("step2", num_epochs - 1, loss_val, z_params)
+            # final bundle carries the optimizer state too, so a killed run
+            # resumes exactly (round-2 weak #6: asymmetric checkpointing)
+            self._save_ckpt("step2", num_epochs - 1, loss_val, z_params, opt_state, hist)
         return z_params, hist
 
     # ------------------------------------------------------------------
