@@ -180,3 +180,38 @@ def test_2d_mesh_sample_by_element_sharding(cooks_mesh):
     f_masked = model.f_ext * model.free_mask
     ref = np.stack([np.asarray(base(cs[i], f_masked)) for i in range(B)])
     np.testing.assert_allclose(us, ref, rtol=1e-10, atol=1e-13)
+
+
+def test_training_step_with_dd_sharded_inner_solve(cooks_mesh):
+    """Round-2 verdict item 4: a step-1 TRAINING step whose inner FEM solve
+    is element-sharded on a hybrid (data x dd) mesh — the custom-VJP CG
+    composed through value_and_grad + Adam — matches the dense-path
+    training step loss-for-loss and parameter-for-parameter."""
+    from jax.sharding import Mesh
+
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.parallel.mesh import make_dd_solve_free
+
+    model = build_fem_model(cooks_mesh, dense=False)
+    mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "dd"))
+    cfg = ProblemConfig()
+    fh_dd = make_fh_fun(model, cfg,
+                        solve_free=make_dd_solve_free(model, mesh2d, tol=1e-12))
+
+    dense_model = build_fem_model(cooks_mesh, dense=True)
+    fh_dense = make_fh_fun(dense_model, cfg)
+    ds = generate_data_fem(
+        jax.random.PRNGKey(3), jax.jit(jax.vmap(fh_dense)), n_sam=32, ne_sam=4
+    )
+    tcfg = TrainConfig(batch_size=16, num_epoch1=2, scan_epochs=False)
+    key = jax.random.PRNGKey(21)
+
+    t_dense = TwoStepTrainer(dense_model, cfg, tcfg)
+    p_ref, h_ref = t_dense.train_step1(ds.y_data, ds.e_data, key, num_epochs=2)
+
+    t_dd = TwoStepTrainer(None, cfg, tcfg, fh=fh_dd, mesh=mesh2d)
+    p_dd, h_dd = t_dd.train_step1(ds.y_data, ds.e_data, key, num_epochs=2)
+
+    np.testing.assert_allclose(h_dd, h_ref, rtol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(p_dd), jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)

@@ -111,3 +111,54 @@ def test_two_level_box3d_matches_dense_solver():
     ub = jax.vmap(lambda c: s2l(c[0], c[1]))(cs)
     u1 = s2l(cs[1, 0], cs[1, 1])
     np.testing.assert_allclose(np.asarray(ub[1]), np.asarray(u1), atol=5e-8 * scale)
+
+
+def test_pallas_3d_row_kernel_interpret_matches_assembled():
+    """The batched-f32 production path (lane-interleaved 198-plane packing
+    + (z, y) row kernel), in interpret mode against the assembled operator."""
+    from vbicm_tpu.ops.stencil3d import build_stencil_tables_3d
+    from vbicm_tpu.ops.stencil3d_pallas import (
+        pack_w_interleaved_3d,
+        stencil_affine_matvec_pallas_3d,
+    )
+
+    fine, _ = _models()
+    W = build_stencil_tables_3d(fine, NX, NY, NZ)
+    w_all = jnp.asarray(pack_w_interleaved_3d(W))
+    K0, K1 = _assembled_parts(fine)
+    rng = np.random.default_rng(3)
+    B = 4
+    u = jnp.asarray(rng.standard_normal((B, fine.ndof)), jnp.float32)
+    c = jnp.asarray(rng.uniform(1.0, 3.0, (B, 2)), jnp.float32)
+    q = stencil_affine_matvec_pallas_3d(
+        w_all, c, u, NZ=NZ + 1, NY=NY + 1, NX=NX + 1, interpret=True
+    )
+    want = np.stack(
+        [
+            np.asarray(c[b, 0]) * (K0 @ np.asarray(u[b], np.float64))
+            + np.asarray(c[b, 1]) * (K1 @ np.asarray(u[b], np.float64))
+            for b in range(B)
+        ]
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(q), want, atol=3e-6 * scale)
+
+
+def test_affine_matvec_3d_custom_vmap_dispatch():
+    """The custom_vmap wrapper: unbatched == reference; batched f64 falls
+    back to the XLA path (Pallas disabled off-TPU)."""
+    from vbicm_tpu.ops.stencil3d import make_stencil_affine_matvec_3d
+
+    fine, _ = _models()
+    affine, pm, diag = make_stencil_affine_matvec_3d(fine, NX, NY, NZ)
+    K0, K1 = _assembled_parts(fine)
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal(fine.ndof))
+    cs = jnp.asarray([1.5, 0.7])
+    want = 1.5 * (K0 @ np.asarray(u)) + 0.7 * (K1 @ np.asarray(u))
+    np.testing.assert_allclose(np.asarray(affine(cs, u)), want, atol=1e-10)
+    ub = jnp.asarray(rng.standard_normal((3, fine.ndof)))
+    cb = jnp.broadcast_to(cs, (3, 2))
+    got = jax.vmap(affine)(cb, ub)
+    want_b = 1.5 * np.asarray(ub) @ K0.T + 0.7 * np.asarray(ub) @ K1.T
+    np.testing.assert_allclose(np.asarray(got), want_b, atol=1e-10)

@@ -112,6 +112,9 @@ def make_stencil_affine_matvec(model, nx: int, ny: int, *, use_pallas: bool = Tr
     """
     from jax.custom_batching import custom_vmap
 
+    if use_pallas and jax.default_backend() != "tpu":
+        use_pallas = False  # Mosaic kernels are TPU-only; CPU runs the XLA path
+
     W = build_stencil_tables(model, nx, ny)
     part_matvec, diag = make_stencil_part_matvec(model, nx, ny, W=W)
     NY, NX = ny + 1, nx + 1

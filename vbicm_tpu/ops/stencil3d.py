@@ -7,8 +7,9 @@ stiffness couples each node to its 26 grid neighbours, so ``K_p @ u`` is a
 contractions on the (NZ, NY, NX, 3) grid view, with zero index arrays in
 the hot loop. Tables are built by scattering the affine element blocks
 (ke_lam/ke_mu) by grid offset; exact (to rounding) equality with the
-assembled operator. XLA lowering only (the 2-D Pallas row-kernel layout
-does not transfer directly; the gather-free form is already the win).
+assembled operator. The f32 BATCHED application — the CG hot loop under
+vmap — dispatches to the Pallas row kernel (``ops.stencil3d_pallas``,
+round 3); unbatched and f64 applications use the XLA lowering here.
 """
 from __future__ import annotations
 
@@ -99,3 +100,60 @@ def make_stencil_part_matvec_3d(model, nx: int, ny: int, nz: int, W=None):
         return acc.reshape(x.shape)
 
     return part_matvec, jnp.asarray(diag)
+
+
+def make_stencil_affine_matvec_3d(model, nx: int, ny: int, nz: int, *,
+                                  use_pallas: bool = True):
+    """Full affine application ``affine(coeffs, u) -> K(c) @ u`` plus the
+    per-part pieces — 3-D sibling of ``ops.stencil.make_stencil_affine_matvec``.
+
+    ``affine`` is a ``custom_vmap``: unbatched (and any f64 batched) calls
+    run the XLA 27-point stencil; the f32 BATCHED call — the CG hot loop
+    under vmap — dispatches to the Pallas row kernel
+    (``ops.stencil3d_pallas``), which fuses all 486 offset/part/dof terms
+    per VMEM-resident (z, y) row instead of XLA's 54 separate HBM passes.
+
+    Returns ``(affine, part_matvec, diag_parts)``.
+    """
+    from jax.custom_batching import custom_vmap
+
+    if use_pallas and jax.default_backend() != "tpu":
+        use_pallas = False  # Mosaic kernels are TPU-only; CPU runs the XLA path
+
+    W = build_stencil_tables_3d(model, nx, ny, nz)
+    part_matvec, diag = make_stencil_part_matvec_3d(model, nx, ny, nz, W=W)
+    NX, NY, NZ = nx + 1, ny + 1, nz + 1
+    w_all = None
+    if use_pallas:
+        from .stencil3d_pallas import pack_w_interleaved_3d
+
+        w_all = jnp.asarray(pack_w_interleaved_3d(W))
+
+    def _ref(coeffs, u):
+        q = None
+        for p in range(W.shape[0]):
+            qp = part_matvec(p, u)
+            cp = coeffs[p].astype(qp.dtype)
+            q = cp * qp if q is None else q + cp * qp
+        return q
+
+    @custom_vmap
+    def affine(coeffs, u):
+        return _ref(coeffs, u)
+
+    @affine.def_vmap
+    def _vmap_rule(axis_size, in_batched, coeffs, u):
+        cb, ub = in_batched
+        u_b = u if ub else jnp.broadcast_to(u, (axis_size,) + u.shape)
+        c_b = coeffs if cb else jnp.broadcast_to(coeffs, (axis_size,) + coeffs.shape)
+        if use_pallas and u_b.dtype == jnp.float32 and u_b.ndim == 2:
+            from .stencil3d_pallas import stencil_affine_matvec_pallas_3d
+
+            out = stencil_affine_matvec_pallas_3d(
+                w_all, c_b, u_b, NZ=NZ, NY=NY, NX=NX
+            )
+        else:
+            out = jax.vmap(_ref)(c_b, u_b)
+        return out, True
+
+    return affine, part_matvec, diag

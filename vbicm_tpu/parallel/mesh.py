@@ -59,6 +59,43 @@ def make_sharded_batch_fh(fh: Callable, mesh: Mesh, axis_name: str = "data"):
     return jax.jit(jax.vmap(fh), in_shardings=in_s, out_shardings=out_s)
 
 
+def make_dd_solve_free(model, mesh2d: Mesh, *, dd_axis: str = "dd",
+                       tol: float = 1e-12, maxiter: int = 4000):
+    """Element-sharded (domain-decomposed) ``solve_free(c0, c1) -> u`` for
+    composing INTO the training step (round-2 verdict item 4).
+
+    The element block tensors are placed with their element axis sharded
+    over ``dd_axis``; GSPMD partitions the matvec einsum + segment_sum of
+    the matrix-free CG and inserts the reduction collective. Because the
+    collectives are compiler-inserted (not shard_map), the returned
+    function composes with ``vmap`` + ``value_and_grad`` + optimizer
+    updates under a hybrid (data x dd) mesh: pass it as
+    ``make_fh_fun(model, cfg, solve_free=...)`` and hand the resulting fh
+    to ``TwoStepTrainer(fh=..., mesh=mesh2d)`` — the batch axis shards over
+    ``data`` while every FEM solve inside the ELBO shards over ``dd``.
+    The custom-VJP adjoint (one more CG on the same sharded operator)
+    inherits the same partitioning.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.solve import make_matfree_affine_solver
+
+    ke_parts = jax.device_put(
+        jnp.stack([model.ke_lam, model.ke_mu]),
+        NamedSharding(mesh2d, P(None, dd_axis)),
+    )
+    lm = jax.device_put(model.lm, NamedSharding(mesh2d, P(dd_axis)))
+    base = make_matfree_affine_solver(
+        ke_parts, lm, model.free_mask, model.ndof, tol=tol, maxiter=maxiter
+    )
+    f_masked = model.f_ext * model.free_mask
+
+    def solve_free(c0, c1):
+        return base(jnp.stack([c0, c1]), f_masked)
+
+    return solve_free
+
+
 def make_2d_sharded_solver(model, mesh2d: Mesh, *, data_axis: str = "data",
                            dd_axis: str = "dd", tol: float = 1e-12,
                            maxiter: int = 4000):

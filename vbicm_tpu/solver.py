@@ -516,6 +516,7 @@ def make_two_level_solver_box3d(
     tol: float = 1e-10,
     maxiter: int = 500,
     omega: float = 0.6,
+    use_pallas: bool = True,
     coarse_f32_precision=jax.lax.Precision.HIGHEST,
     refine_residual: str = "f64",
 ) -> Callable:
@@ -523,7 +524,9 @@ def make_two_level_solver_box3d(
     structured hex8 BOX meshes (``mesh/solid3d.py`` numbering) — the 3-D
     sibling of ``make_two_level_solver``, with the whole CG hot loop in
     structured-grid form: 27-point block-stencil matvec
-    (``ops.stencil3d``) + tensor-product trilinear transfer operators
+    (``ops.stencil3d``; the f32 batched hot loop dispatches to the Pallas
+    row kernel ``ops.stencil3d_pallas`` unless ``use_pallas=False``) +
+    tensor-product trilinear transfer operators
     (``ops.multigrid.make_grid_transfer_nd``), both gather-free.
 
     ``cells_coarse`` = coarse (nx, ny, nz) cell counts; the fine model must
@@ -533,7 +536,7 @@ def make_two_level_solver_box3d(
         raise NotImplementedError("unconstrained spring-free box meshes only")
     from .ops.multigrid import make_grid_transfer_nd, make_two_level_preconditioner
     from .ops.solve import make_matfree_affine_solver
-    from .ops.stencil3d import make_stencil_part_matvec_3d
+    from .ops.stencil3d import make_stencil_affine_matvec_3d
 
     ncx, ncy, ncz = cells_coarse
     nx, ny, nz = ncx * ratio, ncy * ratio, ncz * ratio
@@ -545,7 +548,9 @@ def make_two_level_solver_box3d(
         None, None, coarse_apply, model.free_mask, omega=omega,
         grid_transfer=grid_transfer,
     )
-    part_matvec, diag_parts = make_stencil_part_matvec_3d(model, nx, ny, nz)
+    affine_matvec, part_matvec, diag_parts = make_stencil_affine_matvec_3d(
+        model, nx, ny, nz, use_pallas=use_pallas
+    )
     ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
     base = make_matfree_affine_solver(
         ke_parts,
@@ -559,6 +564,7 @@ def make_two_level_solver_box3d(
         preconditioner=prec,
         part_matvec=part_matvec,
         diag_parts=diag_parts,
+        affine_matvec=affine_matvec,
         refine_residual=refine_residual,
     )
     f_masked = model.f_ext * model.free_mask
