@@ -97,6 +97,14 @@ def main():
     dt = (time.perf_counter() - t0) / (n_iter * nb)
     steps_per_sec = 1.0 / dt
 
+    # roofline accounting: XLA's own FLOP/byte counts for the compiled
+    # training step -> achieved TFLOP/s and fraction of chip peak
+    from vbicm_tpu.utils.roofline import compiled_costs, mfu_fields
+
+    flops_ep, bytes_ep = compiled_costs(epoch_scan, params, opt_state, ys)
+    mfu = mfu_fields(flops_ep and flops_ep / nb, bytes_ep and bytes_ep / nb,
+                     steps_per_sec)
+
     print(
         json.dumps(
             {
@@ -104,6 +112,7 @@ def main():
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / 50.0, 3),
+                **mfu,
             }
         )
     )

@@ -100,6 +100,9 @@ def main():
     vmap_vs_ps = float(jnp.max(jnp.abs(yb[:n_chk] - y_ps)))
     y_rom, h_rom = fh_rom(thetas)
     err = float(jnp.max(jnp.abs(y_rom - yb)))
+    from vbicm_tpu.utils.roofline import compiled_costs, mfu_fields
+
+    fl, by = compiled_costs(jax.vmap(make_fh_fun(model, solve_free=solve2l)), thetas)
     print(
         json.dumps(
             {
@@ -111,6 +114,7 @@ def main():
                 "vmap_vs_persample_max_err": vmap_vs_ps,
                 "rom_vs_cg_max_err": err,
                 "model_build_s": round(build_s, 2),
+                **mfu_fields(fl, by, 1.0 / dt_cg),
             }
         )
     )
@@ -218,6 +222,9 @@ def bench_3d():
     )
     u_ora = s64(lams[0], mus[0])
     err = float(jnp.max(jnp.abs(u[0] - u_ora)) / jnp.max(jnp.abs(u_ora)))
+    from vbicm_tpu.utils.roofline import compiled_costs, mfu_fields
+
+    fl3, by3 = compiled_costs(jax.vmap(s), lams, mus)
     print(
         json.dumps(
             {
@@ -229,6 +236,7 @@ def bench_3d():
                 "batch": B,
                 "rel_err_vs_f64": err,
                 "model_build_s": round(build_s, 1),
+                **mfu_fields(fl3, by3, 1.0 / dt),
             }
         )
     )

@@ -121,3 +121,50 @@ def test_short_training_reaches_reference_level(harness, cooks_model):
     ref_level = float(np.mean(STEP1_PINS))  # 4.118 on these batches
     assert subset_eval < ref_level + 0.15, subset_eval
     assert subset_eval > 2.5, subset_eval  # degenerate-collapse guard
+
+
+@needs_ref
+def test_step2_training_on_reference_targets_pins_residual(harness, cooks_model):
+    """Round-2 verdict item 2 (the decisive experiment, scaled for CI):
+    training OUR step 2 against the REFERENCE'S OWN shipped temp_data.mat
+    targets with its step-1 weights frozen must land at-or-below the
+    reference's own loss level — eliminating the trainer as the source of
+    the end-to-end step-2 residual (full 20-epoch/10k run: 2.2e-7 vs the
+    reference's 3.1e-5, PARITY_STEP2.json; the residual is the bridge
+    TARGET draw, not the optimizer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vbicm_tpu.config import TrainConfig
+    from vbicm_tpu.eval.reference_ckpt import (
+        load_temp_data_moments,
+        load_theta_params,
+    )
+    from vbicm_tpu.vi.train import TwoStepTrainer
+
+    n = 1024
+    y = harness["y"][:n]
+    e = harness["e"]
+    tp = load_theta_params(f"{REF}/results_2steps_proposed1/step1/19-3.81684013.h5")
+    lm, ls = load_temp_data_moments(f"{REF}/results_2steps_proposed1/temp_data.mat")
+    lm, ls = jnp.asarray(lm[:n]), jnp.asarray(ls[:n])
+
+    # 300 epochs x 16 batches tracks the full schedule's 3120 optimizer
+    # steps (calibrated: 50 ep -> 9.1e-3, 150 -> 2.2e-4, 300 -> 2.1e-5)
+    tcfg = TrainConfig(batch_size=64, num_epoch2=300)
+    tr = TwoStepTrainer(cooks_model, harness["cfg"], tcfg, results_path=None)
+    zp, _ = tr.train_step2(y, e, tp, lm, ls, jax.random.PRNGKey(60))
+
+    loss2, tnet, znet = harness["loss2"], harness["theta_net"], harness["z_net"]
+    vals = []
+    for i in range(0, n, 64):
+        sl = slice(i, i + 64)
+        tm, tsg, _ = tnet.apply(tp, y[sl])
+        zm, zs, lzs = znet.apply(zp, y[sl])
+        vals.append(float(loss2((y[sl], lm[sl], ls[sl]), (tm, tsg, zm, zs, lzs))))
+    ours = float(np.mean(vals))
+    # the reference's own final weights evaluate to ~3.4e-5 on these batches
+    # (STEP2_PIN_MEAN); 12 epochs of our trainer on ITS targets must land at
+    # or below that level (full-schedule runs land 2 decades below)
+    assert ours < 1.5 * STEP2_PIN_MEAN, ours
+    assert ours > 0.0
