@@ -1,0 +1,83 @@
+"""Analytic-case evaluation layer (round-2 verdict item 6): the exact
+quadrature references and the case-1 end-to-end eval flow."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from vbicm_tpu.eval import analytic_ref as aref
+from vbicm_tpu.prob import analytic as ana
+
+SIG_E, SIG_ETA = 0.1, 3e-3
+
+
+def test_quadrature_matches_case1_closed_form():
+    """Case 1 is linear-Gaussian: the dense-quadrature conditional must
+    reproduce the closed form (and expose the reference's variance bug —
+    DIVERGENCES #16: its z_sig_ref drops the h'=3 Jacobian factor)."""
+    tg = np.linspace(-8, 8, 4001)
+    s2p = 1.0 / (1.0 + 4.0 / SIG_E)
+    for y0 in (-2.0, 0.5, 3.0):
+        m, v = aref.predictive_moments_1d(
+            y0, ana.f_fun_1d_case1, ana.h_fun_1d_case1, SIG_E, SIG_ETA, tg)
+        m_true = 6.0 * y0 / (4.0 + SIG_E)
+        v_true = 9.0 * s2p + SIG_ETA
+        np.testing.assert_allclose(m, m_true, atol=1e-10)
+        np.testing.assert_allclose(v, v_true, rtol=1e-8)
+        # the reference's formula (sig_eta + s2p) is NOT the variance
+        assert abs(v - (SIG_ETA + s2p)) > 0.15
+
+        zg = np.linspace(m - 5 * np.sqrt(v), m + 5 * np.sqrt(v), 400)
+        pdf_q = aref.predictive_pdf_1d(
+            y0, ana.f_fun_1d_case1, ana.h_fun_1d_case1, SIG_E, SIG_ETA, tg, zg)
+        pdf_c = aref.gaussian_pdf_grid(zg, m_true, v_true)
+        np.testing.assert_allclose(pdf_q, pdf_c, atol=1e-12)
+
+
+def test_posterior_moments_and_kld_helpers():
+    tg = np.linspace(-8, 8, 4001)
+    # case-1 posterior closed form
+    m, v = aref.posterior_moments_1d(1.0, ana.f_fun_1d_case1, SIG_E, tg)
+    np.testing.assert_allclose(m, 2.0 / (4.0 + SIG_E), atol=1e-10)
+    np.testing.assert_allclose(v, 1.0 / (1.0 + 4.0 / SIG_E), rtol=1e-8)
+    # case-2 posterior is symmetric bimodal: mean 0, var > single-mode var
+    m2, v2 = aref.posterior_moments_1d(4.0, ana.f_fun_1d_case2, SIG_E, tg)
+    np.testing.assert_allclose(m2, 0.0, atol=1e-8)
+    assert v2 > 0.5
+    # KLD helpers: closed form == grid quadrature for Gaussians
+    zg = np.linspace(-10, 10, 4000)
+    p = aref.gaussian_pdf_grid(zg, 0.3, 1.2)
+    q = aref.gaussian_pdf_grid(zg, -0.1, 0.8)
+    np.testing.assert_allclose(
+        aref.kld_grid(p, q, zg), aref.kld_gaussian_exact(0.3, 1.2, -0.1, 0.8),
+        rtol=1e-6)
+    # lognormal density normalizes
+    zg = np.linspace(1e-6, 50, 20000)
+    ln = aref.lognormal_pdf_grid(zg, 0.5, 0.2)
+    np.testing.assert_allclose(np.trapezoid(ln, zg), 1.0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_case1_eval_flow_end_to_end(tmp_path):
+    """examples/postprocess_analytic.py case 1 (scaled down): artifacts
+    exist and the proposed predictive tracks the exact conditional."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/postprocess_analytic.py", "--cases", "1",
+         "--n-data", "2048", "--epochs", "100", "--out", str(tmp_path),
+         "--pdf-sam", "1000"],
+        capture_output=True, text=True, timeout=1500, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(tmp_path / "case1" / "summary.json") as f:
+        s = json.load(f)
+    assert s["quad_vs_closed_max_abs"] < 1e-12
+    # proposed lands near the exact conditional on the probe set (the full
+    # 120-epoch run reaches max KLD 0.007; this scaled run stays < 0.5 —
+    # the y=3 probe sits in the thin data tail and converges last)
+    assert max(s["kld_exact_vs_proposed"]) < 0.5, s["kld_exact_vs_proposed"]
+    assert os.path.exists(tmp_path / "case1" / "pdf_overlays.png")

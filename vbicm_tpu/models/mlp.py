@@ -41,6 +41,19 @@ class MLP(nn.Module):
                         param_dtype=self.dtype)(x)
 
 
+def _normalize(y, shift, scale, dtype):
+    """Optional frozen input standardization (y - mean)/std baked into the
+    net as CONSTANTS (not parameters): the amortized maps train poorly on
+    unnormalized inputs spanning decades (the analytic case-3 y1 reaches
+    ~30), and the reference's own ``standardize_data`` helper exists for
+    exactly this (``src/data_generation_2sam_more_loss.py:208-212``) even
+    though its FEM case never needs it. ``None`` (default) is a no-op —
+    reference-parity configurations are unaffected."""
+    if shift is None:
+        return y
+    return (y - jnp.asarray(shift, dtype)) / jnp.asarray(scale, dtype)
+
+
 class ThetaPosteriorNet(nn.Module):
     """q(theta|y): returns (theta_mean, theta_sig, log_theta_sig)."""
 
@@ -48,9 +61,12 @@ class ThetaPosteriorNet(nn.Module):
     n_layers: int = 3
     theta_dim: int = 2
     dtype: jnp.dtype = jnp.float64
+    y_shift: tuple = None
+    y_scale: tuple = None
 
     @nn.compact
     def __call__(self, y):
+        y = _normalize(y, self.y_shift, self.y_scale, self.dtype)
         theta_mean = MLP(self.hidden, self.n_layers, self.theta_dim, self.dtype,
                          name="theta_mean_net")(y)
         log_theta_sig = MLP(self.hidden, self.n_layers, self.theta_dim, self.dtype,
@@ -65,9 +81,12 @@ class ZPredictiveNet(nn.Module):
     n_layers: int = 3
     z_dim: int = 2
     dtype: jnp.dtype = jnp.float64
+    y_shift: tuple = None
+    y_scale: tuple = None
 
     @nn.compact
     def __call__(self, y):
+        y = _normalize(y, self.y_shift, self.y_scale, self.dtype)
         z_mean = MLP(self.hidden, self.n_layers, self.z_dim, self.dtype,
                      name="z_mean_net")(y)
         log_z_sig = MLP(self.hidden, self.n_layers, self.z_dim, self.dtype,

@@ -136,6 +136,14 @@ def make_stencil_affine_matvec(model, nx: int, ny: int, *, use_pallas: bool = Tr
     def affine(coeffs, u):
         return _ref(coeffs, u)
 
+    # Kernel VMEM blocks scale with the batch: each of the three u-row views
+    # is a (B, XLP) f32 block, double-buffered by the pipeline. Cap the
+    # per-call batch so the scoped-VMEM stack stays well under the 16 MB
+    # limit (measured OOM at B=2048 on 160x80: 24 MB requested), and chunk
+    # larger batches through lax.map — the CG hot loop runs at B<=256, so
+    # this only triggers for bulk sweeps like dataset generation.
+    PALLAS_MAX_B = 512
+
     @affine.def_vmap
     def _vmap_rule(axis_size, in_batched, coeffs, u):
         cb, ub = in_batched
@@ -144,7 +152,19 @@ def make_stencil_affine_matvec(model, nx: int, ny: int, *, use_pallas: bool = Tr
         if use_pallas and u_b.dtype == jnp.float32 and u_b.ndim == 2:
             from .stencil_pallas import stencil_affine_matvec_pallas
 
-            out = stencil_affine_matvec_pallas(w_all, c_b, u_b, NY=NY, NX=NX)
+            B = u_b.shape[0]
+            if B <= PALLAS_MAX_B:
+                out = stencil_affine_matvec_pallas(w_all, c_b, u_b, NY=NY, NX=NX)
+            elif B % PALLAS_MAX_B == 0:
+                k = B // PALLAS_MAX_B
+                out = jax.lax.map(
+                    lambda cu: stencil_affine_matvec_pallas(
+                        w_all, cu[0], cu[1], NY=NY, NX=NX),
+                    (c_b.reshape(k, PALLAS_MAX_B, -1),
+                     u_b.reshape(k, PALLAS_MAX_B, -1)),
+                ).reshape(B, -1)
+            else:
+                out = jax.vmap(_ref)(c_b, u_b)
         else:
             out = jax.vmap(_ref)(c_b, u_b)
         return out, True

@@ -141,6 +141,11 @@ def make_stencil_affine_matvec_3d(model, nx: int, ny: int, nz: int, *,
     def affine(coeffs, u):
         return _ref(coeffs, u)
 
+    # nine double-buffered (B, XLP) u-row views: cap the per-call batch to
+    # keep the scoped-VMEM stack under the 16 MB limit; chunk bulk batches
+    # through lax.map (see ops.stencil for the 2-D measurement)
+    PALLAS_MAX_B = 256
+
     @affine.def_vmap
     def _vmap_rule(axis_size, in_batched, coeffs, u):
         cb, ub = in_batched
@@ -149,9 +154,21 @@ def make_stencil_affine_matvec_3d(model, nx: int, ny: int, nz: int, *,
         if use_pallas and u_b.dtype == jnp.float32 and u_b.ndim == 2:
             from .stencil3d_pallas import stencil_affine_matvec_pallas_3d
 
-            out = stencil_affine_matvec_pallas_3d(
-                w_all, c_b, u_b, NZ=NZ, NY=NY, NX=NX
-            )
+            B = u_b.shape[0]
+            if B <= PALLAS_MAX_B:
+                out = stencil_affine_matvec_pallas_3d(
+                    w_all, c_b, u_b, NZ=NZ, NY=NY, NX=NX
+                )
+            elif B % PALLAS_MAX_B == 0:
+                k = B // PALLAS_MAX_B
+                out = jax.lax.map(
+                    lambda cu: stencil_affine_matvec_pallas_3d(
+                        w_all, cu[0], cu[1], NZ=NZ, NY=NY, NX=NX),
+                    (c_b.reshape(k, PALLAS_MAX_B, -1),
+                     u_b.reshape(k, PALLAS_MAX_B, -1)),
+                ).reshape(B, -1)
+            else:
+                out = jax.vmap(_ref)(c_b, u_b)
         else:
             out = jax.vmap(_ref)(c_b, u_b)
         return out, True

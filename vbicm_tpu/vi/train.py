@@ -76,11 +76,16 @@ class TwoStepTrainer:
         results_path: Optional[str] = None,
         verbose: bool = False,
         fh=None,
+        y_norm=None,
     ):
         """``fh`` overrides the forward model: any pure ``theta -> (y, h)``
         (e.g. the analytic validation cases in ``prob.analytic`` or a ROM
         ``make_fh_fun_rom``) — the trainer only needs the observation
-        operator, not the FEM model itself."""
+        operator, not the FEM model itself.
+
+        ``y_norm=(mean, std)`` bakes frozen input standardization into both
+        nets (see ``models.mlp._normalize``) — needed when y spans decades
+        (analytic case 2/3); ``None`` preserves reference parity."""
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
@@ -92,8 +97,16 @@ class TwoStepTrainer:
             fh = make_fh_fun(model, cfg, factor_dtype=factor_dtype, refine_iters=refine_iters)
         self._fh = fh
         self._batch_fh = jax.vmap(fh)
-        self.theta_net = ThetaPosteriorNet(tcfg.num_neuron, tcfg.num_layers1, cfg.theta_dim, dtype)
-        self.z_net = ZPredictiveNet(tcfg.num_neuron, tcfg.num_layers2, cfg.z_dim, dtype)
+        shift = scale = None
+        if y_norm is not None:
+            shift = tuple(float(v) for v in np.asarray(y_norm[0]).ravel())
+            scale = tuple(float(v) for v in np.asarray(y_norm[1]).ravel())
+        self.theta_net = ThetaPosteriorNet(
+            tcfg.num_neuron, tcfg.num_layers1, cfg.theta_dim, dtype,
+            y_shift=shift, y_scale=scale)
+        self.z_net = ZPredictiveNet(
+            tcfg.num_neuron, tcfg.num_layers2, cfg.z_dim, dtype,
+            y_shift=shift, y_scale=scale)
 
     # ------------------------------------------------------------------
     def init_params(self, key):
@@ -415,9 +428,14 @@ class TwoStepTrainer:
         return z_params, hist
 
     # ------------------------------------------------------------------
-    def fit(self, y_data, e_data, key, *, epochs1=None, epochs2=None) -> TrainResult:
+    def fit(self, y_data, e_data, key, *, epochs1=None, epochs2=None,
+            resume=False) -> TrainResult:
+        """``resume=True`` restores both steps from their latest full-state
+        checkpoints under ``results_path`` (a crashed run continues from the
+        last save instead of restarting)."""
         k1, k2, k3 = jax.random.split(key, 3)
-        theta_params, hist1 = self.train_step1(y_data, e_data, k1, epochs1)
+        theta_params, hist1 = self.train_step1(y_data, e_data, k1, epochs1,
+                                               resume=resume)
         lm_post, ls_post = self.bridge(y_data, e_data, theta_params, k2)
         if self.results_path is not None:
             # persist the bridge targets like the reference's temp_data.mat
@@ -431,7 +449,8 @@ class TwoStepTrainer:
                 {"logz_mean_post": lm_post, "logz_sig_post": ls_post},
             )
         z_params, hist2 = self.train_step2(
-            y_data, e_data, theta_params, lm_post, ls_post, k3, epochs2
+            y_data, e_data, theta_params, lm_post, ls_post, k3, epochs2,
+            resume=resume,
         )
         return TrainResult(
             theta_params=theta_params,
