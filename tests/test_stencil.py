@@ -142,3 +142,46 @@ def test_two_level_stencil_solver_matches_element_path():
     )
     u_sp = np.asarray(s_sp(lam, mu))
     assert np.max(np.abs(u_sp - u_el)) < 1e-4 * scale
+
+
+def test_three_level_solver_matches_dense():
+    """Three-level telescope (fine Jacobi + mid Jacobi + spectral coarse):
+    values + gradients vs the dense solver, and the mixed-precision batched
+    path."""
+    import jax.numpy as jnp
+
+    from vbicm_tpu.solver import make_solver, make_three_level_solver
+
+    nxc, nyc, r_mc, r_fm = 4, 2, 2, 2  # 4x2 -> 8x4 -> 16x8
+    fine = build_fem_model(cooks_membrane_mesh(16, 8), dense=False)
+    mid = build_fem_model(cooks_membrane_mesh(8, 4), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(4, 2), dense=True)
+    dense_fine = build_fem_model(cooks_membrane_mesh(16, 8), dense=True)
+
+    lam, mu = jnp.asarray(11.54), jnp.asarray(7.69)
+    u_ref = make_solver(dense_fine)(lam, mu)
+    scale = float(jnp.max(jnp.abs(u_ref)))
+
+    s3 = make_three_level_solver(
+        fine, mid, coarse, nxc, nyc, r_mc, r_fm, tol=1e-11, maxiter=2000,
+    )
+    u3 = s3(lam, mu)
+    np.testing.assert_allclose(np.asarray(u3), np.asarray(u_ref), atol=1e-8 * scale)
+
+    # gradients through the adjoint VJP
+    def qoi(s):
+        return jax.grad(lambda l, m: jnp.sum(s(l, m) ** 2), argnums=(0, 1))(lam, mu)
+
+    g3 = qoi(s3)
+    gref = qoi(make_solver(dense_fine))
+    for a, b in zip(g3, gref):
+        assert abs(float(a) - float(b)) < 1e-5 * max(1.0, abs(float(b)))
+
+    # mixed-precision batched path
+    s3m = make_three_level_solver(
+        fine, mid, coarse, nxc, nyc, r_mc, r_fm,
+        cg_dtype=jnp.float32, refine_iters=1, tol=1e-5, maxiter=1500,
+    )
+    cs = jnp.stack([jnp.stack([lam, mu]), jnp.stack([lam * 1.2, mu * 0.8])])
+    ub = jax.vmap(lambda c: s3m(c[0], c[1]))(cs)
+    np.testing.assert_allclose(np.asarray(ub[0]), np.asarray(u_ref), atol=5e-7 * scale)

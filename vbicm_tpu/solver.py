@@ -491,6 +491,106 @@ def make_two_level_solver(
     return solve_free
 
 
+def make_three_level_solver(
+    model: FemModel,
+    mid_model: FemModel,
+    coarse_model: FemModel,
+    nx_coarse: int,
+    ny_coarse: int,
+    ratio_mc: int,
+    ratio_fm: int,
+    *,
+    cg_dtype=None,
+    refine_iters: int = 0,
+    tol: float = 1e-10,
+    maxiter: int = 800,
+    omega: float = 0.6,
+    omega_mid: float = 0.6,
+    use_stencil: bool = True,
+    coarse_f32_precision=jax.lax.Precision.DEFAULT,
+    refine_residual: str = "f64",
+) -> Callable:
+    """Three-level (fine Jacobi + mid Jacobi + spectral-coarse) matrix-free
+    solver for refined Cook's meshes — ``make_two_level_solver`` with the
+    exact spectral solve pushed one level further down
+    (``ops.multigrid.make_three_level_preconditioner``), so the one-time
+    eigh setup runs on a mesh ``ratio_fm^2``x smaller. Mesh sizes:
+    coarse (nx_coarse x ny_coarse) --ratio_mc--> mid --ratio_fm--> fine.
+
+    Returns ``solve_free(c0, c1) -> u (ndof,)`` with the adjoint VJP.
+    """
+    if model.has_constraints or model.has_springs:
+        raise NotImplementedError(
+            "structured multilevel solvers assume the unconstrained, "
+            "spring-free Cook's layout (see make_two_level_solver)"
+        )
+    from .ops.multigrid import (
+        make_grid_transfer,
+        make_three_level_preconditioner,
+    )
+    from .ops.solve import make_matfree_affine_solver
+    from .ops.stencil import make_stencil_affine_matvec
+
+    nx_mid, ny_mid = nx_coarse * ratio_mc, ny_coarse * ratio_mc
+    nx_f, ny_f = nx_mid * ratio_fm, ny_mid * ratio_fm
+    if model.ndof != (nx_f + 1) * (ny_f + 1) * 2:
+        raise ValueError("fine model does not match coarse * ratio_mc * ratio_fm")
+    gt1 = make_grid_transfer(nx_mid, ny_mid, ratio_fm)
+    gt2 = make_grid_transfer(nx_coarse, ny_coarse, ratio_mc)
+    coarse_apply = make_coarse_spectral_apply(
+        coarse_model, f32_precision=coarse_f32_precision
+    )
+    from .ops.assembly import make_sorted_scatter
+    import numpy as np
+
+    scatter_m = make_sorted_scatter(jnp.asarray(mid_model.lm), mid_model.ndof)
+    mid_diag_parts = jnp.stack([
+        scatter_m(jnp.diagonal(mid_model.ke_lam, axis1=-2, axis2=-1)),
+        scatter_m(jnp.diagonal(mid_model.ke_mu, axis1=-2, axis2=-1)),
+    ])
+    prec = make_three_level_preconditioner(
+        gt1, gt2, mid_diag_parts, mid_model.free_mask, coarse_apply,
+        model.free_mask, omega=omega, omega_mid=omega_mid,
+    )
+    affine_matvec = part_matvec = diag_parts = None
+    if use_stencil:
+        affine_matvec, part_matvec, diag_parts = make_stencil_affine_matvec(
+            model, nx_f, ny_f
+        )
+    ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
+    base = make_matfree_affine_solver(
+        ke_parts,
+        model.lm,
+        model.free_mask,
+        model.ndof,
+        tol=tol,
+        maxiter=maxiter,
+        cg_dtype=cg_dtype,
+        refine_iters=refine_iters,
+        preconditioner=prec,
+        part_matvec=part_matvec,
+        diag_parts=diag_parts,
+        affine_matvec=affine_matvec,
+        refine_residual=refine_residual,
+    )
+    f_masked = model.f_ext * model.free_mask
+    if model.has_prescribed:
+        g_lam_full = _embed_free_vec(model, model.g_lam_f)
+        g_mu_full = _embed_free_vec(model, model.g_mu_f)
+        u_s_full = _prescribed_full(model)
+
+        def solve_free(c0, c1):
+            b = f_masked - c0 * g_lam_full - c1 * g_mu_full
+            return base(jnp.stack([c0, c1]), b) + u_s_full
+
+        return solve_free
+
+    def solve_free(c0, c1):
+        return base(jnp.stack([c0, c1]), f_masked)
+
+    return solve_free
+
+
 def make_finverter_vector(model: FemModel, info) -> jax.Array:
     """Compliant-mechanism output-functional vector Lv (reference
     ``finverter_info``, ``src/fem_solver.py:266-274``): ±1 at the 0-based
