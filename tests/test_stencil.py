@@ -110,6 +110,84 @@ def test_grid_transfer_equals_gather_transfers():
     )
 
 
+def test_compensated_residual_f64_grade():
+    """Dekker/TwoSum residual from pure-f32 ops lands ~1e-14 relative —
+    seven decades below the split_f32 mode it supersedes."""
+    from vbicm_tpu.ops.stencil import build_stencil_tables, make_stencil_part_matvec
+    from vbicm_tpu.ops.stencil_compensated import make_compensated_residual
+
+    nx, ny = 16, 8
+    model = build_fem_model(cooks_membrane_mesh(nx, ny), dense=False)
+    W = build_stencil_tables(model, nx, ny)
+    pm, _ = make_stencil_part_matvec(model, nx, ny, W=W)
+    res_c = make_compensated_residual(model, nx, ny, W=W)
+    rng = np.random.default_rng(3)
+    mask = model.free_mask
+    coeffs = jnp.asarray([11.53, 7.69])
+    x = jnp.asarray(rng.standard_normal(model.ndof))
+    b = jnp.asarray(rng.standard_normal(model.ndof))
+    q64 = coeffs[0] * pm(0, x * mask) + coeffs[1] * pm(1, x * mask)
+    r64 = (b - q64) * mask
+    r = res_c(coeffs, b, x)
+    scale = float(jnp.max(jnp.abs(q64)))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r64), atol=1e-12 * scale)
+    # vmapped
+    B = 3
+    X = jnp.asarray(rng.standard_normal((B, model.ndof)))
+    Bv = jnp.asarray(rng.standard_normal((B, model.ndof)))
+    Cc = jnp.asarray(np.abs(rng.standard_normal((B, 2))) + 5)
+    rb = jax.vmap(res_c)(Cc, Bv, X)
+    want = jnp.stack([
+        (Bv[i] - (Cc[i, 0] * pm(0, X[i] * mask) + Cc[i, 1] * pm(1, X[i] * mask))) * mask
+        for i in range(B)
+    ])
+    np.testing.assert_allclose(np.asarray(rb), np.asarray(want), atol=1e-12 * scale)
+
+
+def test_two_level_solver_compensated_refinement():
+    """cg_dtype=f32 + compensated refinement matches the f64 solve."""
+    nxc, nyc, ratio = NX // 2, NY // 2, 2
+    model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(nxc, nyc), dense=True)
+    s_ref = make_two_level_solver(model, coarse, nxc, nyc, ratio,
+                                  tol=1e-12, maxiter=2000, use_stencil=True)
+    s_c = make_two_level_solver(
+        model, coarse, nxc, nyc, ratio, cg_dtype=jnp.float32,
+        refine_iters=2, tol=1e-5, maxiter=400, use_stencil=True,
+        refine_residual="compensated",
+    )
+    lam, mu = jnp.asarray(11.54), jnp.asarray(7.69)
+    u_ref = np.asarray(s_ref(lam, mu))
+    u_c = np.asarray(s_c(lam, mu))
+    scale = np.abs(u_ref).max()
+    np.testing.assert_allclose(u_c, u_ref, atol=1e-9 * scale)
+
+
+def test_conv_transfer_equals_reshape_transfers():
+    from vbicm_tpu.ops.multigrid import make_grid_transfer, make_grid_transfer_conv
+
+    rng = np.random.default_rng(2)
+    for nxc, nyc, ratio in [(5, 3, 2), (4, 2, 4)]:
+        p0, r0 = make_grid_transfer(nxc, nyc, ratio)
+        p1, r1 = make_grid_transfer_conv(nxc, nyc, ratio)
+        n_c = 2 * (nxc + 1) * (nyc + 1)
+        n_f = 2 * (nxc * ratio + 1) * (nyc * ratio + 1)
+        u_c = jnp.asarray(rng.standard_normal(n_c))
+        r_f = jnp.asarray(rng.standard_normal(n_f))
+        np.testing.assert_allclose(np.asarray(p1(u_c)), np.asarray(p0(u_c)), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(r1(r_f)), np.asarray(r0(r_f)), atol=1e-13)
+        # the conv pair is exactly adjoint
+        np.testing.assert_allclose(
+            float(jnp.vdot(p1(u_c), r_f)), float(jnp.vdot(u_c, r1(r_f))), rtol=1e-12
+        )
+        # f32 + vmap dispatch
+        ub = jnp.asarray(rng.standard_normal((3, n_c)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(jax.vmap(p1)(ub)), np.asarray(jax.vmap(p0)(ub)),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
 def test_two_level_stencil_solver_matches_element_path():
     nxc, nyc, ratio = NX // 2, NY // 2, 2
     model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)

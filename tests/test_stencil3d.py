@@ -162,3 +162,43 @@ def test_affine_matvec_3d_custom_vmap_dispatch():
     got = jax.vmap(affine)(cb, ub)
     want_b = 1.5 * np.asarray(ub) @ K0.T + 0.7 * np.asarray(ub) @ K1.T
     np.testing.assert_allclose(np.asarray(got), want_b, atol=1e-10)
+
+
+def test_compensated_residual_3d_f64_grade():
+    """The n-D compensated residual on the 27-point hex8 stencil."""
+    from vbicm_tpu.ops.stencil3d import build_stencil_tables_3d, make_stencil_part_matvec_3d
+    from vbicm_tpu.ops.stencil_compensated import make_compensated_residual_3d
+
+    fine, _ = _models()
+    W = build_stencil_tables_3d(fine, NX, NY, NZ)
+    pm, _ = make_stencil_part_matvec_3d(fine, NX, NY, NZ, W=W)
+    res_c = make_compensated_residual_3d(fine, NX, NY, NZ, W=W)
+    rng = np.random.default_rng(7)
+    mask = fine.free_mask
+    coeffs = jnp.asarray([11.53, 7.69])
+    x = jnp.asarray(rng.standard_normal(fine.ndof))
+    b = jnp.asarray(rng.standard_normal(fine.ndof))
+    q64 = coeffs[0] * pm(0, x * mask) + coeffs[1] * pm(1, x * mask)
+    r64 = (b - q64) * mask
+    r = res_c(coeffs, b, x)
+    scale = float(jnp.max(jnp.abs(q64)))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r64), atol=1e-12 * scale)
+
+
+def test_box3d_solver_compensated_refinement():
+    from vbicm_tpu.solver import make_two_level_solver_box3d
+
+    fine, coarse = _models()
+    s_ref = make_two_level_solver_box3d(
+        fine, coarse, (NXC, NYC, NZC), R, tol=1e-12, maxiter=2000
+    )
+    s_c = make_two_level_solver_box3d(
+        fine, coarse, (NXC, NYC, NZC), R, cg_dtype=jnp.float32,
+        refine_iters=2, tol=1e-5, maxiter=400,
+        refine_residual="compensated",
+    )
+    lam, mu = jnp.asarray(11.54), jnp.asarray(7.69)
+    u_ref = np.asarray(s_ref(lam, mu))
+    u_c = np.asarray(s_c(lam, mu))
+    scale = np.abs(u_ref).max()
+    np.testing.assert_allclose(u_c, u_ref, atol=1e-9 * scale)

@@ -116,6 +116,76 @@ def make_grid_transfer(nx_c: int, ny_c: int, ratio: int):
     return prolong, restrict
 
 
+def make_grid_transfer_conv(nx_c: int, ny_c: int, ratio: int,
+                            *, precision=jax.lax.Precision.HIGHEST):
+    """Grid transfers as XLA convolutions — the fastest batched form on TPU.
+
+    Same math as ``make_grid_transfer`` (bilinear index-space prolongation
+    and its exact transpose): the prolongation is a separable hat-kernel
+    interpolation, expressed as ``conv_general_dilated`` with
+    ``lhs_dilation=ratio`` (insert ratio-1 zeros between coarse nodes, then
+    convolve with the length 2*ratio-1 hat); the restriction is the SAME
+    kernel applied as a stride-``ratio`` convolution — with a symmetric
+    kernel these two are exactly each other's transpose, including the
+    boundary truncation (the hat of an edge coarse node clipped by the
+    zero padding is precisely the edge column of the bilinear table in
+    ``cooks_prolongation``).
+
+    Why this form: the reshape/concat transfers of ``make_grid_transfer``
+    cost ~0.7 ms/CG-iteration at 160x80 B=256 (in-loop, measured round 3) —
+    layout-copy-bound, ~9x their HBM traffic — while conv ops hit XLA's
+    tuned TPU conv emitters. Separable: two 1-D passes per transfer.
+
+    Returns ``(prolong, restrict)`` on flat dof vectors; vmap-compatible
+    (the conv batching rule folds the vmap axis into the conv batch).
+    """
+    r = ratio
+    NXc, NYc = nx_c + 1, ny_c + 1
+    nx_f, ny_f = nx_c * r, ny_c * r
+    NXf, NYf = nx_f + 1, ny_f + 1
+    hat = 1.0 - np.abs(np.arange(-(r - 1), r)) / r  # (2r-1,) hat weights
+    dn = jax.lax.conv_dimension_numbers(
+        (1, 2, 2, 2), (2, 2, 1, 2), ("NHWC", "HWIO", "NHWC")
+    )
+    K = 2 * r - 1
+
+    def _make(dtype):
+        # depthwise (group=2) separable kernels, HWIO with I/groups = 1:
+        # dof channel stays innermost — zero transposes/relayouts.
+        kh = jnp.asarray(np.broadcast_to(hat.reshape(K, 1, 1, 1), (K, 1, 1, 2)), dtype)
+        kw = jnp.asarray(np.broadcast_to(hat.reshape(1, K, 1, 1), (1, K, 1, 2)), dtype)
+
+        def _conv(x, k, strides, lhs_dil, pad):
+            return jax.lax.conv_general_dilated(
+                x, k, window_strides=strides, padding=pad,
+                lhs_dilation=lhs_dil, dimension_numbers=dn,
+                feature_group_count=2, precision=precision)
+
+        def prolong(u_c):
+            x = u_c.reshape(1, NYc, NXc, 2)  # dof = channel (innermost)
+            x = _conv(x, kh, (1, 1), (r, 1), [(r - 1, r - 1), (0, 0)])
+            x = _conv(x, kw, (1, 1), (1, r), [(0, 0), (r - 1, r - 1)])
+            return x.reshape(-1)
+
+        def restrict(r_fv):
+            x = r_fv.reshape(1, NYf, NXf, 2)
+            x = _conv(x, kh, (r, 1), (1, 1), [(r - 1, r - 1), (0, 0)])
+            x = _conv(x, kw, (1, r), (1, 1), [(0, 0), (r - 1, r - 1)])
+            return x.reshape(-1)
+
+        return prolong, restrict
+
+    ops = {jnp.dtype(d): _make(d) for d in (jnp.float32, jnp.float64)}
+
+    def prolong(u_c):
+        return ops[jnp.dtype(u_c.dtype)][0](u_c)
+
+    def restrict(r_f):
+        return ops[jnp.dtype(r_f.dtype)][1](r_f)
+
+    return prolong, restrict
+
+
 def make_grid_transfer_nd(cells_coarse, ratio: int, ndof_node: int):
     """N-dimensional structured-grid transfer operators, gather-free.
 

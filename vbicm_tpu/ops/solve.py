@@ -297,6 +297,7 @@ def make_matfree_affine_solver(
     diag_parts=None,
     affine_matvec=None,
     refine_residual: str = "f64",
+    residual_fn=None,
 ):
     """Differentiable matrix-free solver for the affine element operator.
 
@@ -310,7 +311,12 @@ def make_matfree_affine_solver(
     160x80 — vs 4e-8 for "f64" — at 2.05x the throughput, 2322 vs 1131
     solves/s at B=256). A speed mode for workloads whose tolerance is far
     above that (the VI observation noise is 0.3). Requires
-    cg_dtype=float32.
+    cg_dtype=float32. "compensated" — f64-GRADE residuals (~1e-14
+    relative, measured) from pure-f32 tensor arithmetic via Dekker
+    TwoProd / Knuth TwoSum on the structured-grid stencil
+    (``ops.stencil_compensated``); pass the built residual as
+    ``residual_fn(coeffs, b, x) -> r``. Strictly dominates "split_f32"
+    (same dtype domain, no accuracy floor above the CG tolerance).
 
     ``part_matvec``: optional ``(p, x) -> K_p @ x`` override of the element
     gather/einsum/scatter matvec, used for FLOAT32 applications only (the
@@ -461,6 +467,22 @@ def make_matfree_affine_solver(
                 + _affine_matvec(ke_parts_cg, coeffs, x2 * free_mask_cg).astype(x.dtype)
             )
             return (b - q) * free_mask
+
+    elif refine_residual == "compensated":
+        if residual_fn is None:
+            raise ValueError(
+                "refine_residual='compensated' needs residual_fn (build it "
+                "with ops.stencil_compensated.make_compensated_residual)"
+            )
+
+        def _residual(coeffs, b, x):
+            # Fence the compensated-residual DAG off from the CG
+            # while_loops: without the barriers XLA's fusion of the
+            # 36-plane TwoProd/TwoSum chain into the surrounding graph
+            # nearly doubles the whole solve (170 vs 91 ms at 160x80
+            # B=256, measured round 3).
+            xb = jax.lax.optimization_barrier(x)
+            return jax.lax.optimization_barrier(residual_fn(coeffs, b, xb))
 
     elif refine_residual == "f64":
 

@@ -422,9 +422,14 @@ def make_two_level_solver(
     ``use_stencil``: run the whole CG iteration in structured-grid form —
     K_p applied as the 9-point block stencil (``ops.stencil``, Pallas row
     kernel for the f32 batched hot loop) and the preconditioner transfers
-    as reshape-based grid operators (``ops.multigrid.make_grid_transfer``)
+    as conv-form grid operators (``ops.multigrid.make_grid_transfer_conv``)
     — eliminating every gather/scatter from the hot loop. The fine grid is
-    (nx_coarse*ratio, ny_coarse*ratio)."""
+    (nx_coarse*ratio, ny_coarse*ratio).
+
+    ``refine_residual="compensated"`` (requires ``use_stencil``) computes
+    refinement residuals at f64 accuracy from pure-f32 stencil arithmetic
+    (``ops.stencil_compensated``) — removes the emulated-f64 matvec that
+    otherwise dominates the mixed-precision solve."""
     if model.has_constraints or coarse_model.has_constraints:
         raise NotImplementedError(
             "the geometric prolongation assumes the unconstrained Cook's "
@@ -446,13 +451,26 @@ def make_two_level_solver(
     )
     part_matvec = diag_parts = affine_matvec = grid_transfer = None
     if use_stencil:
-        from .ops.multigrid import make_grid_transfer
+        from .ops.multigrid import make_grid_transfer_conv
         from .ops.stencil import make_stencil_affine_matvec
 
         affine_matvec, part_matvec, diag_parts = make_stencil_affine_matvec(
             model, nx_coarse * ratio, ny_coarse * ratio
         )
-        grid_transfer = make_grid_transfer(nx_coarse, ny_coarse, ratio)
+        # conv-form transfers: exactly the bilinear P / P^T pair of
+        # make_grid_transfer (1e-16 parity, adjoint to rounding), but via
+        # XLA's TPU conv emitters — 0.74 -> 0.44 ms/CG-iteration of
+        # preconditioner overhead at 160x80 B=256 (in-loop, round 3)
+        grid_transfer = make_grid_transfer_conv(nx_coarse, ny_coarse, ratio)
+    residual_fn = None
+    if refine_residual == "compensated":
+        if not use_stencil:
+            raise ValueError("refine_residual='compensated' needs use_stencil=True")
+        from .ops.stencil_compensated import make_compensated_residual
+
+        residual_fn = make_compensated_residual(
+            model, nx_coarse * ratio, ny_coarse * ratio
+        )
     prec, _, _ = make_two_level_preconditioner(
         idx, w, coarse_apply, model.free_mask, omega=omega,
         grid_transfer=grid_transfer,
@@ -472,6 +490,7 @@ def make_two_level_solver(
         diag_parts=diag_parts,
         affine_matvec=affine_matvec,
         refine_residual=refine_residual,
+        residual_fn=residual_fn,
     )
     f_masked = model.f_ext * model.free_mask
     if model.has_prescribed:
@@ -525,7 +544,7 @@ def make_three_level_solver(
             "spring-free Cook's layout (see make_two_level_solver)"
         )
     from .ops.multigrid import (
-        make_grid_transfer,
+        make_grid_transfer_conv,
         make_three_level_preconditioner,
     )
     from .ops.solve import make_matfree_affine_solver
@@ -535,8 +554,8 @@ def make_three_level_solver(
     nx_f, ny_f = nx_mid * ratio_fm, ny_mid * ratio_fm
     if model.ndof != (nx_f + 1) * (ny_f + 1) * 2:
         raise ValueError("fine model does not match coarse * ratio_mc * ratio_fm")
-    gt1 = make_grid_transfer(nx_mid, ny_mid, ratio_fm)
-    gt2 = make_grid_transfer(nx_coarse, ny_coarse, ratio_mc)
+    gt1 = make_grid_transfer_conv(nx_mid, ny_mid, ratio_fm)
+    gt2 = make_grid_transfer_conv(nx_coarse, ny_coarse, ratio_mc)
     coarse_apply = make_coarse_spectral_apply(
         coarse_model, f32_precision=coarse_f32_precision
     )
@@ -557,6 +576,13 @@ def make_three_level_solver(
         affine_matvec, part_matvec, diag_parts = make_stencil_affine_matvec(
             model, nx_f, ny_f
         )
+    residual_fn = None
+    if refine_residual == "compensated":
+        if not use_stencil:
+            raise ValueError("refine_residual='compensated' needs use_stencil=True")
+        from .ops.stencil_compensated import make_compensated_residual
+
+        residual_fn = make_compensated_residual(model, nx_f, ny_f)
     ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
     base = make_matfree_affine_solver(
         ke_parts,
@@ -572,6 +598,7 @@ def make_three_level_solver(
         diag_parts=diag_parts,
         affine_matvec=affine_matvec,
         refine_residual=refine_residual,
+        residual_fn=residual_fn,
     )
     f_masked = model.f_ext * model.free_mask
     if model.has_prescribed:
@@ -651,6 +678,11 @@ def make_two_level_solver_box3d(
     affine_matvec, part_matvec, diag_parts = make_stencil_affine_matvec_3d(
         model, nx, ny, nz, use_pallas=use_pallas
     )
+    residual_fn = None
+    if refine_residual == "compensated":
+        from .ops.stencil_compensated import make_compensated_residual_3d
+
+        residual_fn = make_compensated_residual_3d(model, nx, ny, nz)
     ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
     base = make_matfree_affine_solver(
         ke_parts,
@@ -666,6 +698,7 @@ def make_two_level_solver_box3d(
         diag_parts=diag_parts,
         affine_matvec=affine_matvec,
         refine_residual=refine_residual,
+        residual_fn=residual_fn,
     )
     f_masked = model.f_ext * model.free_mask
     if model.has_prescribed:
