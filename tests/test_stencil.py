@@ -163,6 +163,31 @@ def test_two_level_solver_compensated_refinement():
     np.testing.assert_allclose(u_c, u_ref, atol=1e-9 * scale)
 
 
+def test_two_level_solver_vcycle_matches_f64():
+    """Multiplicative V(1,1) cycle: same answer, SPD-safe under vmap."""
+    nxc, nyc, ratio = NX // 2, NY // 2, 2
+    model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(nxc, nyc), dense=True)
+    s_ref = make_two_level_solver(model, coarse, nxc, nyc, ratio,
+                                  tol=1e-12, maxiter=2000, use_stencil=True)
+    s_v = make_two_level_solver(
+        model, coarse, nxc, nyc, ratio, cg_dtype=jnp.float32,
+        refine_iters=2, tol=1e-5, maxiter=200, use_stencil=True,
+        refine_residual="compensated", cycle="vcycle",
+    )
+    lam, mu = jnp.asarray(11.54), jnp.asarray(7.69)
+    u_ref = np.asarray(s_ref(lam, mu))
+    scale = np.abs(u_ref).max()
+    np.testing.assert_allclose(np.asarray(s_v(lam, mu)), u_ref, atol=1e-9 * scale)
+    # batched
+    lams = jnp.asarray([8.0, 11.54, 15.0])
+    mus = jnp.asarray([5.0, 7.69, 9.0])
+    ub = np.asarray(jax.vmap(s_v)(lams, mus))
+    for i in range(3):
+        ui = np.asarray(s_ref(lams[i], mus[i]))
+        np.testing.assert_allclose(ub[i], ui, atol=1e-8 * np.abs(ui).max())
+
+
 def test_conv_transfer_equals_reshape_transfers():
     from vbicm_tpu.ops.multigrid import make_grid_transfer, make_grid_transfer_conv
 

@@ -202,3 +202,21 @@ def test_box3d_solver_compensated_refinement():
     u_c = np.asarray(s_c(lam, mu))
     scale = np.abs(u_ref).max()
     np.testing.assert_allclose(u_c, u_ref, atol=1e-9 * scale)
+
+
+def test_box3d_solver_vcycle_matches():
+    from vbicm_tpu.solver import make_two_level_solver_box3d
+
+    fine, coarse = _models()
+    s_ref = make_two_level_solver_box3d(
+        fine, coarse, (NXC, NYC, NZC), R, tol=1e-12, maxiter=2000
+    )
+    s_v = make_two_level_solver_box3d(
+        fine, coarse, (NXC, NYC, NZC), R, cg_dtype=jnp.float32,
+        refine_iters=2, tol=1e-5, maxiter=200,
+        refine_residual="compensated", cycle="vcycle",
+    )
+    lam, mu = jnp.asarray(11.54), jnp.asarray(7.69)
+    u_ref = np.asarray(s_ref(lam, mu))
+    scale = np.abs(u_ref).max()
+    np.testing.assert_allclose(np.asarray(s_v(lam, mu)), u_ref, atol=1e-9 * scale)

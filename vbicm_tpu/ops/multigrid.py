@@ -298,6 +298,69 @@ def make_three_level_preconditioner(
     return prec
 
 
+def make_two_level_vcycle_preconditioner(
+    matvec: Callable,
+    grid_transfer,
+    coarse_apply: Callable,
+    fine_free_mask,
+    *,
+    omega: float = 0.45,
+    presmooth: int = 1,
+    postsmooth: int = 1,
+):
+    """Symmetric multiplicative two-level V-cycle ``prec(coeffs, diag_inv, r)``.
+
+    The additive form (``make_two_level_preconditioner``) just SUMS the
+    Jacobi and coarse corrections — cheap (no extra matvecs) but its
+    PCG iteration count is bounded by the worst of the two half-spaces.
+    The multiplicative cycle composes them:
+
+        x  = omega D^-1 r                      (pre-smooth, x0 = 0)
+        x += P K_c^-1 P^T (r - K x)            (exact coarse correction)
+        x += omega D^-1 (r - K x)              (post-smooth)
+
+    costing ``presmooth + postsmooth`` extra fine matvecs per application.
+    Equal pre/post damped-Jacobi sweeps around a symmetric coarse solve
+    keep the operator SPD for PCG (x0 = 0) — PROVIDED the smoother is a
+    contraction: omega < 2 / lambda_max(D^-1 K), and for plane-strain
+    quad4 elasticity lambda_max approaches 4, so omega must stay BELOW
+    ~0.5 (measured at 160x80: omega=0.5 converges in 15 PCG iterations,
+    omega>=0.6 stalls at maxiter). The default 0.45 is safe across the
+    theta prior range.
+
+    Measured verdict at 160x80 B=256 (f32 CG, tol 3e-3, exact spectral
+    coarse solve): 30 -> 15 PCG iterations vs the additive form — but
+    each iteration carries 2 extra fine matvecs, so wall-clock is a WASH
+    on a single chip where the matvec dominates. Kept as an option
+    because the trade flips when the non-matvec per-iteration cost is
+    the bottleneck: element-sharded solves (transfers + coarse solve +
+    CG dot products each cost a collective — halving the iteration count
+    halves the collective count), or configurations with a relatively
+    more expensive coarse level.
+
+    ``matvec(coeffs, x)``: the masked fine operator in the CG dtype (the
+    stencil path's f32 apply). No reference counterpart (the reference
+    solves dense f64 on CPU, ``src/fem_solver.py``).
+    """
+    prolong, restrict = grid_transfer
+    fine_free_mask = jnp.asarray(fine_free_mask)
+
+    def prec(coeffs, diag_inv, r):
+        mask = fine_free_mask.astype(r.dtype)
+        r = r * mask
+        x = omega * diag_inv * r
+        for _ in range(presmooth - 1):
+            x = x + omega * diag_inv * (r - matvec(coeffs, x))
+        rr = r - matvec(coeffs, x)
+        z_c = coarse_apply(coeffs, restrict(rr))
+        x = x + (prolong(z_c) * mask).astype(r.dtype)
+        for _ in range(postsmooth):
+            x = x + omega * diag_inv * (r - matvec(coeffs, x))
+        return x
+
+    return prec
+
+
 def make_two_level_preconditioner(
     prolong_idx,
     prolong_w,

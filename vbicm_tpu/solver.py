@@ -414,6 +414,7 @@ def make_two_level_solver(
     use_stencil: bool = False,
     coarse_f32_precision=jax.lax.Precision.HIGHEST,
     refine_residual: str = "f64",
+    cycle: str = "additive",
 ) -> Callable:
     """Matrix-free solver with the spectral-coarse two-level preconditioner
     — the production full-order path for refined Cook's meshes. Returns
@@ -429,7 +430,11 @@ def make_two_level_solver(
     ``refine_residual="compensated"`` (requires ``use_stencil``) computes
     refinement residuals at f64 accuracy from pure-f32 stencil arithmetic
     (``ops.stencil_compensated``) — removes the emulated-f64 matvec that
-    otherwise dominates the mixed-precision solve."""
+    otherwise dominates the mixed-precision solve.
+
+    ``cycle``: "additive" (Jacobi + coarse summed; no extra matvecs) or
+    "vcycle" (symmetric multiplicative V(1,1), requires ``use_stencil``) —
+    see ``ops.multigrid.make_two_level_vcycle_preconditioner``."""
     if model.has_constraints or coarse_model.has_constraints:
         raise NotImplementedError(
             "the geometric prolongation assumes the unconstrained Cook's "
@@ -471,10 +476,29 @@ def make_two_level_solver(
         residual_fn = make_compensated_residual(
             model, nx_coarse * ratio, ny_coarse * ratio
         )
-    prec, _, _ = make_two_level_preconditioner(
-        idx, w, coarse_apply, model.free_mask, omega=omega,
-        grid_transfer=grid_transfer,
-    )
+    if cycle == "vcycle":
+        if not use_stencil:
+            raise ValueError("cycle='vcycle' needs use_stencil=True")
+        from .ops.multigrid import make_two_level_vcycle_preconditioner
+
+        mask_f32 = jnp.asarray(model.free_mask, jnp.float32)
+
+        def _masked_mv(coeffs, x):
+            return affine_matvec(coeffs, x * mask_f32) * mask_f32
+
+        # NOTE: deliberately NOT the additive `omega` — the V-cycle
+        # smoother must satisfy omega < 2/lambda_max(D^-1 K) ~ 0.5 for
+        # quad4/hex8 elasticity (see make_two_level_vcycle_preconditioner)
+        prec = make_two_level_vcycle_preconditioner(
+            _masked_mv, grid_transfer, coarse_apply, model.free_mask,
+        )
+    elif cycle == "additive":
+        prec, _, _ = make_two_level_preconditioner(
+            idx, w, coarse_apply, model.free_mask, omega=omega,
+            grid_transfer=grid_transfer,
+        )
+    else:
+        raise ValueError(f"unknown cycle {cycle!r}")
     ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
     base = make_matfree_affine_solver(
         ke_parts,
@@ -646,6 +670,7 @@ def make_two_level_solver_box3d(
     use_pallas: bool = True,
     coarse_f32_precision=jax.lax.Precision.HIGHEST,
     refine_residual: str = "f64",
+    cycle: str = "additive",
 ) -> Callable:
     """Two-level (spectral-coarse + Jacobi) matrix-free solver for
     structured hex8 BOX meshes (``mesh/solid3d.py`` numbering) — the 3-D
@@ -671,13 +696,30 @@ def make_two_level_solver_box3d(
     coarse_apply = make_coarse_spectral_apply(
         coarse_model, f32_precision=coarse_f32_precision
     )
-    prec, _, _ = make_two_level_preconditioner(
-        None, None, coarse_apply, model.free_mask, omega=omega,
-        grid_transfer=grid_transfer,
-    )
     affine_matvec, part_matvec, diag_parts = make_stencil_affine_matvec_3d(
         model, nx, ny, nz, use_pallas=use_pallas
     )
+    if cycle == "vcycle":
+        from .ops.multigrid import make_two_level_vcycle_preconditioner
+
+        mask_f32 = jnp.asarray(model.free_mask, jnp.float32)
+
+        def _masked_mv(coeffs, x):
+            return affine_matvec(coeffs, x * mask_f32) * mask_f32
+
+        # NOTE: deliberately NOT the additive `omega` — the V-cycle
+        # smoother must satisfy omega < 2/lambda_max(D^-1 K) ~ 0.5 for
+        # quad4/hex8 elasticity (see make_two_level_vcycle_preconditioner)
+        prec = make_two_level_vcycle_preconditioner(
+            _masked_mv, grid_transfer, coarse_apply, model.free_mask,
+        )
+    elif cycle == "additive":
+        prec, _, _ = make_two_level_preconditioner(
+            None, None, coarse_apply, model.free_mask, omega=omega,
+            grid_transfer=grid_transfer,
+        )
+    else:
+        raise ValueError(f"unknown cycle {cycle!r}")
     residual_fn = None
     if refine_residual == "compensated":
         from .ops.stencil_compensated import make_compensated_residual_3d
