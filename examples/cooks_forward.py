@@ -4,6 +4,10 @@ TPU-native equivalent of the reference's `fem_test.py` smoke driver:
 build the model, solve, report tip displacement and the von Mises probe
 (element 12, qpts {1,3}).
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import numpy as np
 
 import vbicm_tpu

@@ -18,6 +18,10 @@ This script loads the reference's Keras checkpoints
 (``results_2steps_proposed1``) into our flax nets (eval/reference_ckpt.py)
 and compares those quantities against our trained parameters. Emits JSON.
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import argparse
 import json
 

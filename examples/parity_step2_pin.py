@@ -23,6 +23,10 @@ B. Bridge-noise scaling: K independent bridges (fresh eta draws) at
 
 Usage: python examples/parity_step2_pin.py --out PARITY_STEP2.json
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import argparse
 import json
 import os

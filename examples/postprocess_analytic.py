@@ -20,6 +20,10 @@ Outputs to ``results_compare_analytic/case{1,2,3}/``.
 
 Usage: python examples/postprocess_analytic.py [--cases 1 2 3] [--epochs 120]
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import argparse
 import json
 import os

@@ -16,6 +16,10 @@ step1/step2 latest.msgpack) or directly from the reference's shipped Keras
 checkpoints (``--proposed reference``), since eval/reference_ckpt.py loads
 those into the same flax nets.
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import argparse
 import json
 import os

@@ -9,6 +9,10 @@ equivalent: loads (or quickly trains) a VI model, then produces
 Unlike the reference, the "reference curves" here are REAL MCMC output
 (see docs/DIVERGENCES.md #7).
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import argparse
 import os
 

@@ -15,6 +15,10 @@ isw=3 hooks).
 
 Run: python examples/structural_analysis.py
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,6 +9,10 @@ pipeline.
 
 Run: python examples/topology_optimization.py
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import numpy as np
 
 import vbicm_tpu

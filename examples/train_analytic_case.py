@@ -9,6 +9,10 @@ posterior, so the script reports the analytic check:
 
     q(theta | y) = N( 2y / (4 + sig_e), 1 / (1 + 4/sig_e) )
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import argparse
 
 import numpy as np

@@ -17,6 +17,10 @@ ROM path (``examples/train_scaled_rom.py`` flow), and the two posteriors /
 predictives are compared map-to-map. Artifacts: results_scaled_fullorder/
 (checkpoints, temp_data.mat, summary.json).
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import argparse
 import json
 import os

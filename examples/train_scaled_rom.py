@@ -11,6 +11,10 @@ trainer consumes it through the same ``fh`` override as any other forward
 model. A full-order spot check validates the trained posterior's FEM
 consistency at the end.
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import argparse
 import time
 

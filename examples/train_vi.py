@@ -2,6 +2,10 @@
 pipeline end to end: generate (or load) the dataset, fit q(theta|y), bridge,
 fit p(z|y), save checkpoints + history.
 """
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
 import argparse
 import time
 
