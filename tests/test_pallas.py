@@ -79,3 +79,33 @@ def test_fused_element_matvec_matches_xla():
         )
         ref = np.asarray(element_matvec(ke, model.lm, us[b], model.ndof))
         np.testing.assert_allclose(got[b], ref, rtol=2e-5, atol=1e-5)
+
+
+def test_mxu_banded_stencil_kernel_interpret_matches_assembled():
+    """ops/stencil_mxu.py: the banded MXU matvec (both precision modes) in
+    interpret mode against the exact per-part stencil operator."""
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.ops.stencil import build_stencil_tables, make_stencil_part_matvec
+    from vbicm_tpu.ops.stencil_mxu import pack_w_bands, stencil_affine_matvec_mxu
+
+    nx, ny = 12, 6
+    model = build_fem_model(cooks_membrane_mesh(nx, ny), dense=False)
+    W = build_stencil_tables(model, nx, ny)
+    part_mv, _ = make_stencil_part_matvec(model, nx, ny, W=W)
+    B = 4
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((B, model.ndof)), jnp.float32)
+    coeffs = jnp.asarray(rng.uniform(5, 15, size=(B, 2)), jnp.float32)
+    qr = jnp.stack([
+        coeffs[b, 0] * part_mv(0, u[b].astype(jnp.float64))
+        + coeffs[b, 1] * part_mv(1, u[b].astype(jnp.float64))
+        for b in range(B)
+    ])
+    scale = float(jnp.max(jnp.abs(qr)))
+    for mode, tol in (("f32", 5e-6), ("bf16x3", 5e-5)):
+        mb = pack_w_bands(W, mode)
+        q = stencil_affine_matvec_mxu(mb, coeffs, u, NY=ny + 1, NX=nx + 1,
+                                      interpret=True, mode=mode)
+        err = float(jnp.max(jnp.abs(q - qr))) / scale
+        assert err < tol, (mode, err)

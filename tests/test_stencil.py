@@ -288,3 +288,93 @@ def test_three_level_solver_matches_dense():
     cs = jnp.stack([jnp.stack([lam, mu]), jnp.stack([lam * 1.2, mu * 0.8])])
     ub = jax.vmap(lambda c: s3m(c[0], c[1]))(cs)
     np.testing.assert_allclose(np.asarray(ub[0]), np.asarray(u_ref), atol=5e-7 * scale)
+
+
+def test_matmul_transfer_equals_conv_transfers():
+    """Tensor-product MXU-matmul transfers == conv transfers (2-D and N-D),
+    including exact adjointness and the f32 vmapped dispatch."""
+    from vbicm_tpu.ops.multigrid import (
+        make_grid_transfer_conv,
+        make_grid_transfer_matmul,
+        make_grid_transfer_matmul_nd,
+        make_grid_transfer_nd,
+    )
+
+    rng = np.random.default_rng(3)
+    for nxc, nyc, ratio in [(5, 3, 2), (4, 2, 4)]:
+        p0, r0 = make_grid_transfer_conv(nxc, nyc, ratio)
+        p1, r1 = make_grid_transfer_matmul(nxc, nyc, ratio)
+        n_c = 2 * (nxc + 1) * (nyc + 1)
+        n_f = 2 * (nxc * ratio + 1) * (nyc * ratio + 1)
+        u_c = jnp.asarray(rng.standard_normal(n_c))
+        r_f = jnp.asarray(rng.standard_normal(n_f))
+        np.testing.assert_allclose(np.asarray(p1(u_c)), np.asarray(p0(u_c)), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(r1(r_f)), np.asarray(r0(r_f)), atol=1e-13)
+        np.testing.assert_allclose(
+            float(jnp.vdot(p1(u_c), r_f)), float(jnp.vdot(u_c, r1(r_f))), rtol=1e-12
+        )
+        ub = jnp.asarray(rng.standard_normal((3, n_c)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(jax.vmap(p1)(ub)), np.asarray(jax.vmap(p0)(ub)),
+            rtol=1e-5, atol=1e-6,
+        )
+    # 3-D
+    cells, ratio, nd = (4, 3, 5), 2, 3
+    pn, rn = make_grid_transfer_nd(cells, ratio, nd)
+    pm, rm = make_grid_transfer_matmul_nd(cells, ratio, nd)
+    n_c = nd * int(np.prod([c + 1 for c in cells]))
+    n_f = nd * int(np.prod([c * ratio + 1 for c in cells]))
+    uc = jnp.asarray(rng.standard_normal((2, n_c)))
+    uf = jnp.asarray(rng.standard_normal((2, n_f)))
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(pm)(uc)), np.asarray(jax.vmap(pn)(uc)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(rm)(uf)), np.asarray(jax.vmap(rn)(uf)), atol=1e-12
+    )
+
+
+def test_dense_coarse_correction_and_solver_path():
+    """The folded two-matmul coarse correction == restrict -> spectral
+    coarse solve -> prolong, and the transfer='dense' solver matches."""
+    from vbicm_tpu.ops.multigrid import (
+        make_dense_coarse_correction,
+        make_grid_transfer_conv,
+    )
+    from vbicm_tpu.solver import make_coarse_spectral_apply
+
+    nx, ny, r = 16, 8, 4
+    model = build_fem_model(cooks_membrane_mesh(nx, ny), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(nx // r, ny // r), dense=True)
+    corr = make_dense_coarse_correction(coarse, nx // r, ny // r, r, model.free_mask)
+    ca = make_coarse_spectral_apply(coarse)
+    pl_, rs_ = make_grid_transfer_conv(nx // r, ny // r, r)
+    rng = np.random.default_rng(4)
+    mask = jnp.asarray(model.free_mask, jnp.float32)
+    rv = jnp.asarray(rng.standard_normal(model.ndof), jnp.float32) * mask
+    coeffs = jnp.asarray([11.5, 7.7])
+    z1 = corr(coeffs, rv)
+    z2 = pl_(ca(coeffs, rs_(rv))) * mask
+    scale = float(jnp.max(jnp.abs(z2)))
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=2e-4 * scale)
+
+    kw = dict(cg_dtype=jnp.float32, refine_iters=1, tol=1e-4, maxiter=400,
+              use_stencil=True, refine_residual="compensated")
+    s_conv = make_two_level_solver(model, coarse, nx // r, ny // r, r,
+                                   transfer="conv", **kw)
+    s_dense = make_two_level_solver(model, coarse, nx // r, ny // r, r,
+                                    transfer="dense", **kw)
+    lam = jnp.asarray(rng.uniform(8, 16, 3))
+    mu = jnp.asarray(rng.uniform(5, 10, 3))
+    u1 = jax.vmap(s_conv)(lam, mu)
+    u2 = jax.vmap(s_dense)(lam, mu)
+    scale = float(jnp.max(jnp.abs(u1)))
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u1), atol=1e-4 * scale)
+
+    # gradients survive the dense-correction preconditioner (adjoint re-solve)
+    g1 = jax.grad(lambda l, m: jnp.sum(s_dense(l, m) ** 2), argnums=(0, 1))(
+        lam[0], mu[0])
+    g0 = jax.grad(lambda l, m: jnp.sum(s_conv(l, m) ** 2), argnums=(0, 1))(
+        lam[0], mu[0])
+    for a, b in zip(g1, g0):
+        assert abs(float(a) - float(b)) < 1e-3 * max(1.0, abs(float(b)))

@@ -186,6 +186,107 @@ def make_grid_transfer_conv(nx_c: int, ny_c: int, ratio: int,
     return prolong, restrict
 
 
+def _hat_matrix(n_fine: int, n_coarse: int, r: int) -> np.ndarray:
+    """1-D bilinear interpolation matrix P (n_fine, n_coarse):
+    P[f, c] = max(0, 1 - |f - r*c| / r) — the hat kernel of
+    ``make_grid_transfer_conv`` in dense form, edge truncation included."""
+    f = np.arange(n_fine)[:, None]
+    c = np.arange(n_coarse)[None, :]
+    return np.maximum(0.0, 1.0 - np.abs(f - r * c) / r)
+
+
+def make_grid_transfer_matmul(nx_c: int, ny_c: int, ratio: int,
+                              *, precision=jax.lax.Precision.HIGHEST):
+    """Grid transfers as tensor-product MXU matmuls — the fastest batched
+    form measured on TPU (round 3).
+
+    The bilinear prolongation is separable, P = P_y (x) P_x, so the whole
+    transfer is two small constant-operand matmuls on the (NY, NX*2) grid
+    view:  fine = P_y @ U_c @ (P_x (x) I_2)^T,  restrict = its exact
+    transpose. Identical math to ``make_grid_transfer_conv`` (same hat
+    kernel, same edge truncation — parity 1e-7 f32 / 1e-15 f64, tested),
+    but where the TPU conv emitters cost 1.7 + 2.2 ms per restrict/prolong
+    pair at 160x80 B=256, the batched matmuls hit the MXU at ~0.1 ms
+    (measured round 3) — the transfers drop out of the two-level CG
+    iteration cost entirely.
+
+    ``precision`` applies to the matmuls; HIGHEST (6-pass bf16, ~f32-exact)
+    by default. Inside the two-level PRECONDITIONER ``DEFAULT`` (one bf16
+    pass) is admissible for the same reason as the coarse spectral apply —
+    the preconditioner only shapes the Krylov space.
+
+    Returns ``(prolong, restrict)`` on flat interleaved dof vectors;
+    vmap-compatible (constant-operand batched matmuls).
+    """
+    r = ratio
+    NXc, NYc = nx_c + 1, ny_c + 1
+    NXf, NYf = nx_c * r + 1, ny_c * r + 1
+    Py = _hat_matrix(NYf, NYc, r)
+    Px2 = np.kron(_hat_matrix(NXf, NXc, r), np.eye(2))  # interleaved dofs
+    tabs = {
+        jnp.dtype(d): (jnp.asarray(Py, d), jnp.asarray(Px2, d))
+        for d in (jnp.float32, jnp.float64)
+    }
+
+    def prolong(u_c):
+        Pyj, Px2j = tabs[jnp.dtype(u_c.dtype)]
+        t = jnp.matmul(u_c.reshape(NYc, NXc * 2), Px2j.T, precision=precision)
+        return jnp.matmul(Pyj, t, precision=precision).reshape(-1)
+
+    def restrict(r_f):
+        Pyj, Px2j = tabs[jnp.dtype(r_f.dtype)]
+        t = jnp.matmul(Pyj.T, r_f.reshape(NYf, NXf * 2), precision=precision)
+        return jnp.matmul(t, Px2j, precision=precision).reshape(-1)
+
+    return prolong, restrict
+
+
+def make_grid_transfer_matmul_nd(cells_coarse, ratio: int, ndof_node: int,
+                                 *, precision=jax.lax.Precision.HIGHEST):
+    """N-D sibling of :func:`make_grid_transfer_matmul`: the multilinear
+    tensor-product transfer applied as one constant-operand matmul per axis
+    (dof channel folded into the fastest axis). Same math as
+    ``make_grid_transfer_nd`` (tested to f32/f64 rounding); MXU instead of
+    the reshape/concat lowering. ``cells_coarse`` slowest-first, as there."""
+    r = ratio
+    ndim = len(cells_coarse)
+    fine_dims = tuple(c * r + 1 for c in cells_coarse)
+    coarse_dims = tuple(c + 1 for c in cells_coarse)
+    mats = [_hat_matrix(f, c, r) for f, c in zip(fine_dims, coarse_dims)]
+    # fold the dof channel into the last axis's map
+    mats[-1] = np.kron(mats[-1], np.eye(ndof_node))
+    tabs = {
+        jnp.dtype(d): [jnp.asarray(m, d) for m in mats]
+        for d in (jnp.float32, jnp.float64)
+    }
+    coarse_last = coarse_dims[-1] * ndof_node
+    fine_last = fine_dims[-1] * ndof_node
+
+    def prolong(u_c):
+        ms = tabs[jnp.dtype(u_c.dtype)]
+        a = u_c.reshape(coarse_dims[:-1] + (coarse_last,))
+        for ax in range(ndim):
+            # contract the coarse axis with P[ax] (fine, coarse): move it
+            # last, tensordot, move back — XLA folds into dot_general
+            a = jnp.moveaxis(
+                jnp.tensordot(jnp.moveaxis(a, ax, -1), ms[ax],
+                              axes=[[-1], [1]], precision=precision),
+                -1, ax)
+        return a.reshape(-1)
+
+    def restrict(r_f):
+        ms = tabs[jnp.dtype(r_f.dtype)]
+        a = r_f.reshape(fine_dims[:-1] + (fine_last,))
+        for ax in range(ndim):
+            a = jnp.moveaxis(
+                jnp.tensordot(jnp.moveaxis(a, ax, -1), ms[ax],
+                              axes=[[-1], [0]], precision=precision),
+                -1, ax)
+        return a.reshape(-1)
+
+    return prolong, restrict
+
+
 def make_grid_transfer_nd(cells_coarse, ratio: int, ndof_node: int):
     """N-dimensional structured-grid transfer operators, gather-free.
 
@@ -359,6 +460,65 @@ def make_two_level_vcycle_preconditioner(
         return x
 
     return prec
+
+
+def make_dense_coarse_correction(coarse_model, nx_c: int, ny_c: int,
+                                 ratio: int, fine_free_mask,
+                                 *, dtype=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT):
+    """The ENTIRE coarse correction of the two-level preconditioner —
+    restrict, spectral coarse solve, prolong — folded into two dense MXU
+    matmuls:
+
+        z_c = A^T @ ( (A @ r) / d(c) ),   A = V^T R_free,  d = c0*g + c1
+
+    where (g, V) is the coarse pencil diagonalization (K_lam v = g K_mu v,
+    V^T K_mu V = I) and R_free the bilinear restriction onto the coarse
+    FREE dofs (R = P^T exactly, so prolongation-side = A^T — one stored
+    matrix). At 160x80/40x20 A is (1680, 26082): the three separate stages
+    cost ~0.8 + 1.0 + 0.8 ms per CG iteration at B=256 (each a small-
+    operand op well above its traffic bound), while the folded form is two
+    (B, 26082) x (26082, 1680) matmuls — chunky, transpose-free MXU shapes.
+
+    ``dtype``: storage/compute type of A. float32 (default) with DEFAULT
+    precision (one bf16 pass) — admissible inside the preconditioner for
+    the same reason as the coarse spectral apply; bfloat16 halves the
+    HBM traffic of A again (the matmuls run bf16 either way).
+
+    Returns ``corr(coeffs, r) -> z_c`` on fine full-dof vectors (caller
+    masks); vmap-compatible (constant-operand matmuls, batch in rows).
+    """
+    import scipy.linalg
+
+    r = ratio
+    NXc, NYc = nx_c + 1, ny_c + 1
+    NXf, NYf = nx_c * r + 1, ny_c * r + 1
+    g, V = scipy.linalg.eigh(
+        np.asarray(coarse_model.k_lam_ff), np.asarray(coarse_model.k_mu_ff)
+    )
+    Ry = _hat_matrix(NYf, NYc, r).T  # (NYc, NYf)
+    Rx2 = np.kron(_hat_matrix(NXf, NXc, r).T, np.eye(2))  # (NXc2, NXf2)
+    R_full = np.kron(Ry, Rx2)  # (NYc*NXc2, NYf*NXf2) flat-dof restriction
+    free_c = np.asarray(coarse_model.free_dof)
+    mask_f = np.asarray(fine_free_mask)
+    # fold the fine free-dof mask into A so corr() needs no pre-mask
+    A = (V.T @ R_full[free_c, :]) * mask_f[None, :]
+    A_j = jnp.asarray(A, dtype)
+    g_j = jnp.asarray(g, jnp.float32)
+
+    def corr(coeffs, rv):
+        c0 = coeffs[0].astype(jnp.float32)
+        c1 = coeffs[1].astype(jnp.float32)
+        d = c0 * g_j + c1
+        s = jnp.einsum("n,cn->c", rv.astype(dtype), A_j,
+                       precision=precision,
+                       preferred_element_type=jnp.float32)
+        s = (s / d).astype(dtype)
+        z = jnp.einsum("c,cn->n", s, A_j, precision=precision,
+                       preferred_element_type=jnp.float32)
+        return z.astype(rv.dtype)
+
+    return corr
 
 
 def make_two_level_preconditioner(

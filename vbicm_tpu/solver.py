@@ -415,6 +415,7 @@ def make_two_level_solver(
     coarse_f32_precision=jax.lax.Precision.HIGHEST,
     refine_residual: str = "f64",
     cycle: str = "additive",
+    transfer: str = "conv",
 ) -> Callable:
     """Matrix-free solver with the spectral-coarse two-level preconditioner
     — the production full-order path for refined Cook's meshes. Returns
@@ -434,7 +435,20 @@ def make_two_level_solver(
 
     ``cycle``: "additive" (Jacobi + coarse summed; no extra matvecs) or
     "vcycle" (symmetric multiplicative V(1,1), requires ``use_stencil``) —
-    see ``ops.multigrid.make_two_level_vcycle_preconditioner``."""
+    see ``ops.multigrid.make_two_level_vcycle_preconditioner``.
+
+    ``transfer`` (with ``use_stencil``): preconditioner coarse-path form,
+    identical math in all three (solve parity 7e-8, tested):
+      * "conv" (default) — XLA conv emitters; production.
+      * "matmul" — tensor-product MXU matmuls
+        (``ops.multigrid.make_grid_transfer_matmul``).
+      * "dense" (additive cycle only) — the whole restrict/coarse-solve/
+        prolong chain folded into two dense MXU matmuls against
+        A = V^T R (``ops.multigrid.make_dense_coarse_correction``).
+    Round-3 measurements at 160x80 B=256 (v5e): conv 98.1 ms/batch,
+    matmul 100.0, dense 137.6 — in-loop XLA fuses the conv/spectral chain
+    well enough that the folded form's 2x175 MB A-matrix HBM reads per CG
+    iteration are a net loss; conv stays the default."""
     if model.has_constraints or coarse_model.has_constraints:
         raise NotImplementedError(
             "the geometric prolongation assumes the unconstrained Cook's "
@@ -456,7 +470,10 @@ def make_two_level_solver(
     )
     part_matvec = diag_parts = affine_matvec = grid_transfer = None
     if use_stencil:
-        from .ops.multigrid import make_grid_transfer_conv
+        from .ops.multigrid import (
+            make_grid_transfer_conv,
+            make_grid_transfer_matmul,
+        )
         from .ops.stencil import make_stencil_affine_matvec
 
         affine_matvec, part_matvec, diag_parts = make_stencil_affine_matvec(
@@ -466,7 +483,14 @@ def make_two_level_solver(
         # make_grid_transfer (1e-16 parity, adjoint to rounding), but via
         # XLA's TPU conv emitters — 0.74 -> 0.44 ms/CG-iteration of
         # preconditioner overhead at 160x80 B=256 (in-loop, round 3)
-        grid_transfer = make_grid_transfer_conv(nx_coarse, ny_coarse, ratio)
+        if transfer == "matmul":
+            grid_transfer = make_grid_transfer_matmul(nx_coarse, ny_coarse, ratio)
+        elif transfer == "conv":
+            grid_transfer = make_grid_transfer_conv(nx_coarse, ny_coarse, ratio)
+        elif transfer == "dense":
+            grid_transfer = None  # whole coarse correction folds into prec
+        else:
+            raise ValueError(f"unknown transfer {transfer!r}")
     residual_fn = None
     if refine_residual == "compensated":
         if not use_stencil:
@@ -479,6 +503,8 @@ def make_two_level_solver(
     if cycle == "vcycle":
         if not use_stencil:
             raise ValueError("cycle='vcycle' needs use_stencil=True")
+        if transfer == "dense":
+            raise ValueError("transfer='dense' is additive-cycle only")
         from .ops.multigrid import make_two_level_vcycle_preconditioner
 
         mask_f32 = jnp.asarray(model.free_mask, jnp.float32)
@@ -493,10 +519,23 @@ def make_two_level_solver(
             _masked_mv, grid_transfer, coarse_apply, model.free_mask,
         )
     elif cycle == "additive":
-        prec, _, _ = make_two_level_preconditioner(
-            idx, w, coarse_apply, model.free_mask, omega=omega,
-            grid_transfer=grid_transfer,
-        )
+        if use_stencil and transfer == "dense":
+            from .ops.multigrid import make_dense_coarse_correction
+
+            corr = make_dense_coarse_correction(
+                coarse_model, nx_coarse, ny_coarse, ratio, model.free_mask
+            )
+            _maskj = jnp.asarray(model.free_mask)
+
+            def prec(coeffs, diag_inv, r):
+                rm = r * _maskj.astype(r.dtype)
+                return omega * diag_inv * rm + corr(coeffs, rm)
+
+        else:
+            prec, _, _ = make_two_level_preconditioner(
+                idx, w, coarse_apply, model.free_mask, omega=omega,
+                grid_transfer=grid_transfer,
+            )
     else:
         raise ValueError(f"unknown cycle {cycle!r}")
     ke_parts = jnp.stack([model.ke_lam, model.ke_mu])
