@@ -128,6 +128,110 @@ def metropolis(
     )
 
 
+def hmc(
+    key,
+    logpost: Callable,
+    *,
+    d: int = 2,
+    n_samples: int = 2000,
+    burn: int = 500,
+    thin: int = 1,
+    n_chains: int = 8,
+    step_size: float = 0.2,
+    n_leapfrog: int = 8,
+    init: Optional[jnp.ndarray] = None,
+    adapt: bool = True,
+    target_accept: float = 0.75,
+) -> MetropolisResult:
+    """Hamiltonian Monte Carlo, vmapped over chains, scanned over steps.
+
+    The TPU-native upgrade over :func:`metropolis` that the reference could
+    not express: its sampler treats the FEM forward map as a black box
+    (``sampyl.Metropolis``, ``src/postprocess_lib.py:92-94``), while here
+    ``jax.grad`` of the log-posterior runs through the FEM adjoint solve —
+    one extra linear solve per leapfrog step — so each proposal is guided
+    by the exact posterior gradient. Per gradient evaluation HMC's
+    effective sample size is typically an order of magnitude above
+    random-walk (pinned in ``tests/test_eval.py``).
+
+    Identity mass matrix (the theta prior is standard normal, so the
+    posterior scale is O(1) by construction). ``adapt=True`` runs per-chain
+    Robbins-Monro on the log step size toward ``target_accept`` during
+    burn-in only; kept samples use frozen step sizes, so detailed balance
+    holds for every retained draw. Returns the same
+    :class:`MetropolisResult` (split-R-hat / bulk-ESS diagnostics).
+    """
+    n_steps = burn + n_samples * thin
+
+    if init is None:
+        init = jnp.zeros((n_chains, d))
+    else:
+        init = jnp.asarray(init)
+    v_logp = jax.vmap(logpost)
+    v_grad = jax.vmap(jax.grad(logpost))
+    logp0 = v_logp(init)
+    log_s0 = jnp.full((n_chains,), jnp.log(step_size), init.dtype)
+
+    def one_step(carry, inp):
+        theta, logp, log_s = carry
+        k, t = inp
+        k1, k2, k3 = jax.random.split(k, 3)
+        # jitter the step size (+-33%) so eps*L never locks onto a period
+        # of the target — without this, trajectories on near-Gaussian
+        # posteriors U-turn back to their start (adapted eps ~ 0.8, L = 8
+        # gives eps*L ~ 2*pi) and the ESS collapses to the random-walk
+        # level. Jitter preserves detailed balance (eps is drawn
+        # independently of the state).
+        jit = jax.random.uniform(k3, (theta.shape[0], 1), theta.dtype,
+                                 2.0 / 3.0, 4.0 / 3.0)
+        eps = jnp.exp(log_s)[:, None] * jit
+        p0 = jax.random.normal(k1, theta.shape, theta.dtype)
+
+        # leapfrog: half kick, (L-1) full (drift, kick), drift, half kick
+        def leap(carry, _):
+            q, p = carry
+            p = p + 0.5 * eps * v_grad(q)
+            q = q + eps * p
+            p = p + 0.5 * eps * v_grad(q)
+            return (q, p), None
+
+        (q1, p1), _ = jax.lax.scan(leap, (theta, p0), None, length=n_leapfrog)
+        logp1 = v_logp(q1)
+        h0 = logp - 0.5 * jnp.sum(p0**2, axis=1)
+        h1 = logp1 - 0.5 * jnp.sum(p1**2, axis=1)
+        log_ratio = h1 - h0
+        # guard divergences (non-finite H after an unstable trajectory)
+        log_ratio = jnp.where(jnp.isfinite(log_ratio), log_ratio, -jnp.inf)
+        log_u = jnp.log(jax.random.uniform(k2, (theta.shape[0],)))
+        accept = log_u < log_ratio
+        theta = jnp.where(accept[:, None], q1, theta)
+        logp = jnp.where(accept, logp1, logp)
+        if adapt:
+            alpha = jnp.minimum(1.0, jnp.exp(log_ratio))
+            gamma = (t + 1.0) ** (-0.6)
+            in_burn = t < burn
+            log_s = jnp.where(
+                in_burn, log_s + gamma * (alpha - target_accept), log_s
+            )
+        return (theta, logp, log_s), (theta, accept)
+
+    keys = jax.random.split(key, n_steps)
+    ts = jnp.arange(n_steps, dtype=init.dtype)
+    (_, _, log_s), (chain, accepts) = jax.lax.scan(
+        one_step, (init, logp0, log_s0), (keys, ts)
+    )
+    kept = chain[burn::thin]
+    samples = np.asarray(jnp.swapaxes(kept, 0, 1))
+    ess, rhat = ess_rhat(samples)
+    return MetropolisResult(
+        samples=samples,
+        accept_rate=float(jnp.mean(accepts[burn:])),
+        step_size=np.asarray(jnp.exp(log_s)),
+        ess=ess,
+        rhat=rhat,
+    )
+
+
 def ess_rhat(samples: np.ndarray):
     """(bulk ESS (d,), split-R-hat (d,)) for samples (n_chains, n_kept, d).
 
