@@ -76,6 +76,35 @@ def test_pallas_row_kernel_interpret_matches_assembled():
     np.testing.assert_allclose(np.asarray(q), want, atol=3e-6 * scale)
 
 
+def test_pallas_multirow_kernel_bit_matches_one_row():
+    """The opt-in multi-row (manually double-buffered DMA) variant must be
+    bit-identical to the production one-row kernel, including when
+    rows_per_program does not divide NY+1 (tail-row padding)."""
+    from vbicm_tpu.ops.stencil import build_stencil_tables
+    from vbicm_tpu.ops.stencil_pallas import (
+        pack_w_interleaved,
+        stencil_affine_matvec_pallas,
+        stencil_affine_matvec_pallas_mr,
+    )
+
+    model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
+    W = build_stencil_tables(model, NX, NY)
+    w_all = jnp.asarray(pack_w_interleaved(W))
+    rng = np.random.default_rng(3)
+    B = 4
+    u = jnp.asarray(rng.standard_normal((B, model.ndof)), jnp.float32)
+    c = jnp.asarray(rng.uniform(1.0, 3.0, (B, 2)), jnp.float32)
+    q0 = stencil_affine_matvec_pallas(
+        w_all, c, u, NY=NY + 1, NX=NX + 1, interpret=True
+    )
+    for rpp in (3, 4):  # NY+1 = 5: neither divides -> exercises padding
+        q1 = stencil_affine_matvec_pallas_mr(
+            w_all, c, u, NY=NY + 1, NX=NX + 1, rows_per_program=rpp,
+            interpret=True,
+        )
+        assert float(jnp.max(jnp.abs(q0 - q1))) == 0.0
+
+
 def test_grid_transfer_equals_gather_transfers():
     from vbicm_tpu.ops.multigrid import (
         cooks_prolongation,

@@ -112,6 +112,119 @@ def stencil_affine_matvec_pallas(w_int, coeffs, u, *, NY: int, NX: int,
     return qp.reshape(B, NY, XLP)[:, :, :NX2].reshape(B, NY * NX2)
 
 
+def _mr_kernel(NX2: int, B: int, XLP: int, RPP: int, NPROG: int,
+               c_ref, w_ref, u_hbm, q_ref, u_vmem, sems):
+    g = pl.program_id(0)
+    slot = jax.lax.rem(g, _i32(2))
+
+    def chunk_copy(prog, buf):
+        return pltpu.make_async_copy(
+            u_hbm.at[:, pl.ds(prog * RPP * XLP, (RPP + 2) * XLP)],
+            u_vmem.at[buf], sems.at[buf],
+        )
+
+    @pl.when(g == 0)
+    def _():
+        chunk_copy(g, slot).start()
+
+    # prefetch the NEXT program's chunk into the other buffer while this
+    # program computes — the double-buffering that makes the manual DMA
+    # overlap instead of serialize
+    @pl.when(g + 1 < NPROG)
+    def _():
+        chunk_copy(g + 1, jax.lax.rem(g + _i32(1), _i32(2))).start()
+
+    chunk_copy(g, slot).wait()
+    for ry in range(RPP):
+        acc = [None, None]
+        for dy in range(3):
+            base = (ry + dy) * XLP
+            for d in range(7):
+                usl = u_vmem[slot, :, base + 1 + d : base + 1 + d + NX2]
+                for p in range(2):
+                    kk = ry * 48 + (p * 3 + dy) * 7 + d
+                    t = w_ref[kk : kk + 1, :NX2] * usl
+                    acc[p] = t if acc[p] is None else acc[p] + t
+        q_ref[:, ry * XLP : ry * XLP + NX2] = (
+            c_ref[0:B, 0:1] * acc[0] + c_ref[B : 2 * B, 0:1] * acc[1]
+        )
+        q_ref[:, ry * XLP + NX2 : (ry + 1) * XLP] = jnp.zeros(
+            (B, XLP - NX2), jnp.float32
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("NY", "NX", "rows_per_program", "interpret")
+)
+def stencil_affine_matvec_pallas_mr(w_int, coeffs, u, *, NY: int, NX: int,
+                                    rows_per_program: int = 8,
+                                    interpret: bool = False):
+    """Multi-row variant of :func:`stencil_affine_matvec_pallas`.
+
+    Hypothesis tested (round 3): the one-row-per-program kernel looked
+    PER-PROGRAM bound (cost ~flat in batch from B=8 to B=64). This variant
+    processes ``rows_per_program`` mesh rows per grid program from ONE
+    contiguous row chunk, manually double-buffered across grid steps
+    (program g prefetches chunk g+1 while computing), which also replaces
+    the three overlapping row-view fetches — 3x the u traffic — with a
+    single (RPP+2)-row copy. Same 42-plane VPU math, bit-identical results
+    (interpret-mode parity 0.0 vs the one-row kernel).
+
+    MEASURED OUTCOME (v5e, 160x80): the win is small — B=64: 0.706 ms vs
+    0.755 one-row; B=256: 1.149 vs 1.182 (min-of-5x50). The kernel is VPU
+    compute-bound at production batch, not pipeline/DMA-bound, so chunking
+    and prefetch buy only the fill overhead. Kept as an opt-in variant;
+    the one-row kernel stays the production default.
+
+    VMEM: the u chunk is (B, (RPP+2)*XLP) f32 DOUBLE-buffered plus the
+    blocked W rows and the double-buffered output block — at 160x80 B=256
+    the scoped-VMEM stack OOMs for RPP=9 (19.9M > 16M limit, measured);
+    keep 2*B*XLP*(RPP+2)*4 + B*RPP*XLP*8 under the 16 MB budget
+    (RPP=3 fits at B=256, RPP<=9 at B=64).
+    """
+    B = u.shape[0]
+    NX2 = 2 * NX
+    RPP = rows_per_program
+    XLP = -(-(NX2 + 8) // 128) * 128
+    NYP = -(-NY // RPP) * RPP
+    g = u.astype(jnp.float32).reshape(B, NY, NX2)
+    upad = jnp.pad(
+        g, ((0, 0), (1, 1 + NYP - NY), (4, XLP - NX2 - 4))
+    ).reshape(B, (NYP + 2) * XLP)
+    c = jnp.broadcast_to(
+        jnp.transpose(coeffs.astype(jnp.float32)).reshape(2 * B, 1), (2 * B, 128)
+    )
+    qp = pl.pallas_call(
+        functools.partial(_mr_kernel, NX2, B, XLP, RPP, NYP // RPP),
+        out_shape=jax.ShapeDtypeStruct((B, NYP * XLP), jnp.float32),
+        grid=(NYP // RPP,),
+        in_specs=[
+            pl.BlockSpec((2 * B, 128), lambda i: (_i32(0), _i32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RPP * 48, XLP), lambda i: (i, _i32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((B, RPP * XLP), lambda i: (_i32(0), i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, (RPP + 2) * XLP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(c, pad_w_rows(w_int, NY, RPP), upad)
+    return qp.reshape(B, NYP, XLP)[:, :NY, :NX2].reshape(B, NY * NX2)
+
+
+def pad_w_rows(w_int, NY: int, RPP: int):
+    """Pad the (NY*48, XLP) packed planes to (ceil(NY/RPP)*RPP*48, XLP)
+    with zero rows so the multi-row kernel's blocked W spec tiles evenly."""
+    NYP = -(-NY // RPP) * RPP
+    if NYP == NY:
+        return w_int
+    return jnp.pad(w_int, ((0, (NYP - NY) * 48), (0, 0)))
+
+
 def pack_w_interleaved(W) -> np.ndarray:
     """(P, NY, NX, 3, 3, 2, 2) stencil tables -> (NY*48, XLP) f32
     lane-interleaved delta planes, rows padded 42->48 and lanes to the
