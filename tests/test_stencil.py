@@ -217,6 +217,85 @@ def test_two_level_solver_vcycle_matches_f64():
         np.testing.assert_allclose(ub[i], ui, atol=1e-8 * np.abs(ui).max())
 
 
+def test_batched_two_level_solver_matches_vmapped():
+    """The natively-batched two-level CG (scalar alpha/beta freezing,
+    z-eliminated preconditioner fold) against the vmapped production
+    solver, values and gradients."""
+    from vbicm_tpu.solver import make_two_level_solver_batched
+
+    nxc, nyc, ratio = NX // 2, NY // 2, 2
+    model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(nxc, nyc), dense=True)
+    s_ref = make_two_level_solver(model, coarse, nxc, nyc, ratio,
+                                  tol=1e-12, maxiter=2000, use_stencil=True)
+    for rr in ("compensated", "f64"):
+        s_b = make_two_level_solver_batched(
+            model, coarse, nxc, nyc, ratio, refine_iters=2, tol=1e-5,
+            maxiter=400, refine_residual=rr,
+        )
+        # spread of conditioning so lanes converge at different iterations
+        lams = jnp.asarray([8.0, 11.54, 15.0, 30.0])
+        mus = jnp.asarray([5.0, 7.69, 9.0, 3.0])
+        ub = np.asarray(s_b(lams, mus))
+        for i in range(4):
+            ui = np.asarray(s_ref(lams[i], mus[i]))
+            np.testing.assert_allclose(
+                ub[i], ui, atol=2e-9 * np.abs(ui).max(), err_msg=rr
+            )
+
+    # adjoint: gradient of a probe functional vs the vmapped solver's
+    s_b = make_two_level_solver_batched(
+        model, coarse, nxc, nyc, ratio, refine_iters=2, tol=1e-5,
+        maxiter=400, refine_residual="compensated",
+    )
+    wvec = jnp.asarray(np.random.default_rng(7).standard_normal(model.ndof))
+
+    def loss_b(lams, mus):
+        return jnp.sum(jnp.sin(s_b(lams, mus) @ wvec))
+
+    def loss_r(lams, mus):
+        u = jax.vmap(s_ref)(lams, mus)
+        return jnp.sum(jnp.sin(u @ wvec))
+
+    lams = jnp.asarray([11.54, 9.0])
+    mus = jnp.asarray([7.69, 6.0])
+    gb = jax.grad(loss_b, argnums=(0, 1))(lams, mus)
+    gr = jax.grad(loss_r, argnums=(0, 1))(lams, mus)
+    for a, b in zip(gb, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_fh_fun_batched_matches_vmapped_fh():
+    """make_fh_fun_batched over the batched solver == vmap(make_fh_fun)
+    over the vmapped solver, values and theta-gradients."""
+    from vbicm_tpu.config import ProblemConfig
+    from vbicm_tpu.solver import (
+        make_fh_fun,
+        make_fh_fun_batched,
+        make_two_level_solver_batched,
+    )
+
+    nxc, nyc, ratio = NX // 2, NY // 2, 2
+    model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(nxc, nyc), dense=True)
+    cfg = ProblemConfig(node_id=model.nnodes, ele_id=7)
+    s_ref = make_two_level_solver(model, coarse, nxc, nyc, ratio,
+                                  tol=1e-12, maxiter=2000, use_stencil=True)
+    fh_ref = jax.vmap(make_fh_fun(model, cfg, solve_free=s_ref))
+    s_b = make_two_level_solver_batched(
+        model, coarse, nxc, nyc, ratio, refine_iters=2, tol=1e-5, maxiter=400,
+    )
+    fh_b = make_fh_fun_batched(model, s_b, cfg)
+    thetas = jnp.asarray(np.random.default_rng(5).standard_normal((3, 2)))
+    y0, h0 = fh_ref(thetas)
+    y1, h1 = fh_b(thetas)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), rtol=1e-8)
+    g0 = jax.grad(lambda t: jnp.sum(fh_ref(t)[0] ** 2) + jnp.sum(fh_ref(t)[1]))(thetas)
+    g1 = jax.grad(lambda t: jnp.sum(fh_b(t)[0] ** 2) + jnp.sum(fh_b(t)[1]))(thetas)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
+
+
 def test_conv_transfer_equals_reshape_transfers():
     from vbicm_tpu.ops.multigrid import make_grid_transfer, make_grid_transfer_conv
 

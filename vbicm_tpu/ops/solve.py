@@ -282,6 +282,103 @@ def pcg(matvec, b, minv, *, tol=1e-12, maxiter=1000, x0=None):
     return x, it, jnp.vdot(r, r)
 
 
+def pcg_two_level_batched(
+    matvec_b,
+    b,
+    dinv,
+    coeffs_b,
+    restrict_b,
+    prolong_b,
+    coarse_apply_b,
+    mask,
+    *,
+    omega: float,
+    tol: float = 1e-12,
+    maxiter: int = 1000,
+):
+    """Natively-BATCHED additive two-level PCG — the fusion-friendly
+    restructuring of ``vmap(pcg)`` for the structured-grid hot loop.
+
+    Two hot-loop savings over the vmapped form (where jax batches the
+    while_loop by running every lane until ALL converge and the body
+    freezes converged lanes with FOUR full-state ``jnp.where`` selects,
+    ~0.4 GB/iteration of pure select traffic at 160x80 B=256):
+
+      * converged lanes are frozen by masking the SCALARS alpha/beta to
+        zero per lane instead of selecting the (B, n) state vectors —
+        ``x + 0*p`` is the freeze, no extra passes. (A done lane's p
+        drifts to z once; harmless, alpha stays 0.)
+      * the preconditioned residual z is NEVER materialized: with the
+        additive preconditioner z = omega*D^-1 r + P s, s = A_c^-1 R r,
+        the CG scalars fold into small-space dots —
+        ``(r, z) = omega * sum(r * dinv * r) + (R r, s)`` — and the
+        p-update consumes z's two terms directly. This removes the z
+        state vector (one fewer carry copy) and lets XLA fuse the
+        elementwise x/r/p updates with the reductions around them.
+
+    Args: ``matvec_b(p) -> (B, n)`` masked batched operator;
+    ``b (B, n)`` masked rhs (cg dtype); ``dinv (B, n)`` Jacobi inverse
+    diagonal; ``coeffs_b (B, P)``; ``restrict_b/prolong_b`` batched grid
+    transfers; ``coarse_apply_b(coeffs_b, r_c) -> (B, nc)`` batched coarse
+    solve; ``mask (n,)`` free-dof 0/1. Same convergence criterion as
+    :func:`pcg` (relative residual vs b, per lane).
+
+    Returns ``(x, iters)``.
+    """
+    B = b.shape[0]
+    rdt = b.dtype
+    mask = mask.astype(rdt)
+    tiny = jnp.asarray(1e-30 if rdt == jnp.float32 else 1e-300, rdt)
+    bb = jnp.maximum(jnp.einsum("bi,bi->b", b, b), tiny)
+    thresh = (tol * tol) * bb
+
+    def _prec_dots(r):
+        """s = coarse solve of R r, plus (r, z) with z never formed."""
+        rc = restrict_b(r)
+        s = coarse_apply_b(coeffs_b, rc)
+        rz = omega * jnp.einsum("bi,bi,bi->b", r, dinv, r) + jnp.einsum(
+            "bc,bc->b", rc, s
+        )
+        return s, rz
+
+    def _z(r, s):
+        return (omega * dinv * r + prolong_b(s) * mask).astype(rdt)
+
+    x = jnp.zeros_like(b)
+    r = b
+    s, rz = _prec_dots(r)
+    p = _z(r, s)
+    rr = jnp.einsum("bi,bi->b", r, r)
+
+    def cond(state):
+        it, x, r, p, rz, rr = state
+        return jnp.logical_and(it < maxiter, jnp.any(rr > thresh))
+
+    def body(state):
+        it, x, r, p, rz, rr = state
+        done = rr <= thresh
+        kp = matvec_b(p)
+        denom = jnp.einsum("bi,bi->b", p, kp)
+        alpha = jnp.where(
+            done, 0.0, rz / jnp.where(denom == 0, 1.0, denom)
+        ).astype(rdt)
+        x = x + alpha[:, None] * p
+        r = r - alpha[:, None] * kp
+        s, rz_n = _prec_dots(r)
+        rr = jnp.einsum("bi,bi->b", r, r)
+        beta = jnp.where(
+            done, 0.0, rz_n / jnp.where(rz == 0, 1.0, rz)
+        ).astype(rdt)
+        p = _z(r, s) + beta[:, None] * p
+        rz = jnp.where(done, rz, rz_n)
+        return it + 1, x, r, p, rz, rr
+
+    it, x, r, p, rz, rr = jax.lax.while_loop(
+        cond, body, (jnp.array(0), x, r, p, rz, rr)
+    )
+    return x, it
+
+
 def make_matfree_affine_solver(
     ke_parts,
     lm,

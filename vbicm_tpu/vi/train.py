@@ -76,12 +76,19 @@ class TwoStepTrainer:
         results_path: Optional[str] = None,
         verbose: bool = False,
         fh=None,
+        fh_batch=None,
         y_norm=None,
     ):
         """``fh`` overrides the forward model: any pure ``theta -> (y, h)``
         (e.g. the analytic validation cases in ``prob.analytic`` or a ROM
         ``make_fh_fun_rom``) — the trainer only needs the observation
         operator, not the FEM model itself.
+
+        ``fh_batch`` overrides the BATCHED form ``thetas (B,2) -> (y, h)``
+        directly (instead of ``jax.vmap(fh)``) — for natively-batched
+        solvers (``make_fh_fun_batched`` over
+        ``make_two_level_solver_batched``) whose CG loop is written over
+        the whole sample block.
 
         ``y_norm=(mean, std)`` bakes frozen input standardization into both
         nets (see ``models.mlp._normalize``) — needed when y spans decades
@@ -93,10 +100,10 @@ class TwoStepTrainer:
         self.results_path = results_path
         self.verbose = verbose
 
-        if fh is None:
+        if fh is None and fh_batch is None:
             fh = make_fh_fun(model, cfg, factor_dtype=factor_dtype, refine_iters=refine_iters)
         self._fh = fh
-        self._batch_fh = jax.vmap(fh)
+        self._batch_fh = jax.vmap(fh) if fh_batch is None else fh_batch
         shift = scale = None
         if y_norm is not None:
             shift = tuple(float(v) for v in np.asarray(y_norm[0]).ravel())
