@@ -416,10 +416,15 @@ def make_two_level_solver(
     refine_residual: str = "f64",
     cycle: str = "additive",
     transfer: str = "conv",
+    with_rhs_solver: bool = False,
 ) -> Callable:
     """Matrix-free solver with the spectral-coarse two-level preconditioner
     — the production full-order path for refined Cook's meshes. Returns
     ``solve_free(c0, c1) -> u (ndof,)`` with the adjoint custom VJP.
+    With ``with_rhs_solver=True`` returns ``(solve_free, solve_rhs)`` where
+    ``solve_rhs(coeffs (2,), b (ndof,)) -> u`` solves against an arbitrary
+    masked right-hand side with the same preconditioned CG (used by e.g.
+    the matrix-free modal solver, ``eval.modal``).
 
     ``use_stencil``: run the whole CG iteration in structured-grid form —
     K_p applied as the 9-point block stencil (``ops.stencil``, Pallas row
@@ -565,12 +570,12 @@ def make_two_level_solver(
             b = f_masked - c0 * g_lam_full - c1 * g_mu_full
             return base(jnp.stack([c0, c1]), b) + u_s_full
 
-        return solve_free
+        return (solve_free, base) if with_rhs_solver else solve_free
 
     def solve_free(c0, c1):
         return base(jnp.stack([c0, c1]), f_masked)
 
-    return solve_free
+    return (solve_free, base) if with_rhs_solver else solve_free
 
 
 def make_fh_fun_batched(
@@ -933,6 +938,7 @@ def make_two_level_solver_box3d(
     coarse_f32_precision=jax.lax.Precision.HIGHEST,
     refine_residual: str = "f64",
     cycle: str = "additive",
+    with_rhs_solver: bool = False,
 ) -> Callable:
     """Two-level (spectral-coarse + Jacobi) matrix-free solver for
     structured hex8 BOX meshes (``mesh/solid3d.py`` numbering) — the 3-D
@@ -1014,12 +1020,12 @@ def make_two_level_solver_box3d(
             b = f_masked - c0 * g_lam_full - c1 * g_mu_full
             return base(jnp.stack([c0, c1]), b) + u_s_full
 
-        return solve_free
+        return (solve_free, base) if with_rhs_solver else solve_free
 
     def solve_free(c0, c1):
         return base(jnp.stack([c0, c1]), f_masked)
 
-    return solve_free
+    return (solve_free, base) if with_rhs_solver else solve_free
 
 
 def element_strain_energy(model: FemModel, u, c0, c1) -> jax.Array:
