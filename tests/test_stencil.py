@@ -486,3 +486,49 @@ def test_dense_coarse_correction_and_solver_path():
         lam[0], mu[0])
     for a, b in zip(g1, g0):
         assert abs(float(a) - float(b)) < 1e-3 * max(1.0, abs(float(b)))
+
+
+def test_two_step_training_through_fh_batch():
+    """TwoStepTrainer(fh_batch=...) — the full two-step fit through the
+    natively-batched solver, against the same fit through vmap(fh) over the
+    vmapped production solver (identical ELBO math, same keys)."""
+    from vbicm_tpu.config import ProblemConfig, TrainConfig
+    from vbicm_tpu.prob.datagen import generate_data_fem
+    from vbicm_tpu.solver import (
+        make_fh_fun,
+        make_fh_fun_batched,
+        make_two_level_solver_batched,
+    )
+    from vbicm_tpu.vi.train import TwoStepTrainer
+
+    nxc, nyc, ratio = NX // 2, NY // 2, 2
+    model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(nxc, nyc), dense=True)
+    cfg = ProblemConfig(node_id=model.nnodes, ele_id=7)
+    s_ref = make_two_level_solver(model, coarse, nxc, nyc, ratio,
+                                  tol=1e-12, maxiter=2000, use_stencil=True)
+    fh = make_fh_fun(model, cfg, solve_free=s_ref)
+    s_b = make_two_level_solver_batched(
+        model, coarse, nxc, nyc, ratio, refine_iters=2, tol=1e-6, maxiter=600,
+    )
+    fh_b = make_fh_fun_batched(model, s_b, cfg)
+
+    ds = generate_data_fem(
+        jax.random.PRNGKey(0), jax.jit(fh_b), n_sam=64, ne_sam=2,
+        sig_e=cfg.sig_e, sig_eta=cfg.sig_eta,
+    )
+    tcfg = TrainConfig(batch_size=32, num_epoch1=2, num_epoch2=2)
+    res_b = TwoStepTrainer(None, cfg, tcfg, fh_batch=fh_b).fit(
+        ds.y_data, ds.e_data, jax.random.PRNGKey(1)
+    )
+    res_v = TwoStepTrainer(None, cfg, tcfg, fh=fh).fit(
+        ds.y_data, ds.e_data, jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(res_b.hist_step1).all() and np.isfinite(res_b.hist_step2).all()
+    # same keys + same math -> the loss trajectories agree to solver accuracy
+    np.testing.assert_allclose(
+        np.asarray(res_b.hist_step1), np.asarray(res_v.hist_step1), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.hist_step2), np.asarray(res_v.hist_step2), rtol=1e-4
+    )

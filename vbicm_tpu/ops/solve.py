@@ -237,36 +237,56 @@ def pcg(matvec, b, minv, *, tol=1e-12, maxiter=1000, x0=None):
     pure lax.while_loop, no data-dependent shapes.
     """
     apply_prec = minv if callable(minv) else (lambda rr: minv * rr)
-    x = jnp.zeros_like(b) if x0 is None else x0
+    # RHS NORMALIZATION (exact — CG is linear in b): solve K x_hat = b/||b||
+    # and scale back. Without it, a tiny-norm rhs (e.g. the 2nd iterative-
+    # refinement residual, entries ~1e-13) puts every CG dot product at the
+    # f32 underflow floor, where subnormal-garbage p'Kp denominators make
+    # alpha explode over hundreds of stalled iterations (measured: a lane
+    # amplifying 1e-12 -> 0.82 in 500 iters, inf/NaN without the breakdown
+    # guard). Normalized, all quantities sit in well-scaled territory.
+    tiny = jnp.asarray(1e-30 if b.dtype == jnp.float32 else 1e-300, b.dtype)
+    scale = jnp.sqrt(jnp.maximum(jnp.vdot(b, b), tiny))
+    b = b / scale
+    x = jnp.zeros_like(b) if x0 is None else x0 / scale
     r = b - matvec(x)
     z = apply_prec(r)
     p = z
     rz = jnp.vdot(r, z)
-    tiny = jnp.asarray(1e-30 if b.dtype == jnp.float32 else 1e-300, b.dtype)
     bnorm = jnp.maximum(jnp.vdot(b, b), tiny)
 
     def _done(r):
         return jnp.vdot(r, r) <= tol * tol * bnorm
 
     def cond(state):
-        x, r, z, p, rz, it = state
-        return jnp.logical_and(it < maxiter, jnp.logical_not(_done(r)))
+        x, r, z, p, rz, it, dead = state
+        return jnp.logical_and(
+            it < maxiter, jnp.logical_not(jnp.logical_or(_done(r), dead))
+        )
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, z, p, rz, it, dead = state
         # Under vmap, lanes that already converged keep executing this body
         # (jax while_loop runs until ALL lanes' cond is false). Freezing
         # converged lanes is essential: their f32 residual norms underflow
         # and the alpha/beta ratios blow the iterate up otherwise.
-        done = _done(r)
+        # BREAKDOWN SAFEGUARD (dead flag): a lane stalled at its f32
+        # rounding floor (tol tighter than ~kappa * eps_f32) can round
+        # p'Kp or (r, z) non-positive; the recurrences then diverge
+        # (negative beta destroys conjugacy, inf - inf = NaN). Freeze such
+        # lanes permanently — outer refinement still improves them.
+        done = jnp.logical_or(_done(r), dead)
         kp = matvec(p)
         denom = jnp.vdot(p, kp)
-        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        bad = jnp.logical_not(denom > 0)  # catches <= 0 and NaN
+        alpha = jnp.where(bad, 0.0, rz / jnp.where(denom == 0, 1.0, denom))
         x_n = x + alpha * p
         r_n = r - alpha * kp
         z_n = apply_prec(r_n)
         rz_n = jnp.vdot(r_n, z_n)
-        beta = rz_n / jnp.where(rz == 0, 1.0, rz)
+        dead_n = dead | (~done & (bad | ~(rz_n > 0)))
+        beta = jnp.where(
+            dead_n, 0.0, rz_n / jnp.where(rz == 0, 1.0, rz)
+        )
         p_n = z_n + beta * p
         keep = lambda old, new: jnp.where(done, old, new)
         return (
@@ -274,12 +294,15 @@ def pcg(matvec, b, minv, *, tol=1e-12, maxiter=1000, x0=None):
             keep(r, r_n),
             keep(z, z_n),
             keep(p, p_n),
-            jnp.where(done, rz, rz_n),
+            jnp.where(done | dead_n, rz, rz_n),
             it + 1,
+            dead_n,
         )
 
-    x, r, z, p, rz, it = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.array(0)))
-    return x, it, jnp.vdot(r, r)
+    x, r, z, p, rz, it, _dead = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, jnp.array(0), jnp.array(False))
+    )
+    return x * scale, it, jnp.vdot(r, r) * scale * scale
 
 
 def pcg_two_level_batched(
@@ -329,6 +352,13 @@ def pcg_two_level_batched(
     rdt = b.dtype
     mask = mask.astype(rdt)
     tiny = jnp.asarray(1e-30 if rdt == jnp.float32 else 1e-300, rdt)
+    # per-lane RHS NORMALIZATION (exact — CG is linear in b): see the same
+    # block in :func:`pcg`. The refinement rhs of the adjoint solve has
+    # per-lane norms down to ~1e-12; unnormalized, its f32 dot products sit
+    # at the underflow floor where subnormal-garbage denominators make
+    # stalled lanes diverge (measured 1e-12 -> 0.82 in 500 iters -> NaN).
+    scale = jnp.sqrt(jnp.maximum(jnp.einsum("bi,bi->b", b, b), tiny))
+    b = b / scale[:, None]
     bb = jnp.maximum(jnp.einsum("bi,bi->b", b, b), tiny)
     thresh = (tol * tol) * bb
 
@@ -349,34 +379,46 @@ def pcg_two_level_batched(
     s, rz = _prec_dots(r)
     p = _z(r, s)
     rr = jnp.einsum("bi,bi->b", r, r)
+    dead = rz <= 0  # breakdown flag, per lane (permanent)
 
     def cond(state):
-        it, x, r, p, rz, rr = state
-        return jnp.logical_and(it < maxiter, jnp.any(rr > thresh))
+        it, x, r, p, rz, rr, dead = state
+        return jnp.logical_and(
+            it < maxiter, jnp.any(jnp.logical_and(rr > thresh, ~dead))
+        )
 
     def body(state):
-        it, x, r, p, rz, rr = state
-        done = rr <= thresh
+        it, x, r, p, rz, rr, dead = state
+        # BREAKDOWN SAFEGUARD: in f32, a lane iterating at/below its
+        # rounding floor (tol tighter than ~kappa * eps_f32 allows) can
+        # produce non-positive p'Kp or (r, z) — the CG recurrences then
+        # DIVERGE (negative beta destroys conjugacy, alpha explodes,
+        # inf - inf = NaN poisons the whole batch, and through the adjoint
+        # the training step). Such lanes freeze permanently at their
+        # current iterate; outer refinement still improves them.
+        done = (rr <= thresh) | dead
         kp = matvec_b(p)
         denom = jnp.einsum("bi,bi->b", p, kp)
+        bad_d = ~(denom > 0)  # catches <= 0 and NaN
         alpha = jnp.where(
-            done, 0.0, rz / jnp.where(denom == 0, 1.0, denom)
+            done | bad_d, 0.0, rz / jnp.where(denom == 0, 1.0, denom)
         ).astype(rdt)
         x = x + alpha[:, None] * p
         r = r - alpha[:, None] * kp
         s, rz_n = _prec_dots(r)
         rr = jnp.einsum("bi,bi->b", r, r)
+        dead = dead | (~done & bad_d) | (~done & ~(rz_n > 0))
         beta = jnp.where(
-            done, 0.0, rz_n / jnp.where(rz == 0, 1.0, rz)
+            done | dead, 0.0, rz_n / jnp.where(rz == 0, 1.0, rz)
         ).astype(rdt)
         p = _z(r, s) + beta[:, None] * p
-        rz = jnp.where(done, rz, rz_n)
-        return it + 1, x, r, p, rz, rr
+        rz = jnp.where(done | dead, rz, rz_n)
+        return it + 1, x, r, p, rz, rr, dead
 
-    it, x, r, p, rz, rr = jax.lax.while_loop(
-        cond, body, (jnp.array(0), x, r, p, rz, rr)
+    it, x, r, p, rz, rr, dead = jax.lax.while_loop(
+        cond, body, (jnp.array(0), x, r, p, rz, rr, dead)
     )
-    return x, it
+    return x * scale[:, None], it
 
 
 def make_matfree_affine_solver(
