@@ -78,6 +78,7 @@ class TwoStepTrainer:
         fh=None,
         fh_batch=None,
         y_norm=None,
+        bridge_chunk: int = 4096,
     ):
         """``fh`` overrides the forward model: any pure ``theta -> (y, h)``
         (e.g. the analytic validation cases in ``prob.analytic`` or a ROM
@@ -92,13 +93,19 @@ class TwoStepTrainer:
 
         ``y_norm=(mean, std)`` bakes frozen input standardization into both
         nets (see ``models.mlp._normalize``) — needed when y spans decades
-        (analytic case 2/3); ``None`` preserves reference parity."""
+        (analytic case 2/3); ``None`` preserves reference parity.
+
+        ``bridge_chunk`` bounds the FEM-sweep batch of the step-1->2 bridge
+        (n*ne posterior samples total) — lower it for large models so the
+        sweep's compiled batch fits HBM (the default 4096 OOMs beyond ~5k
+        dofs on a 16 GB chip)."""
         self.cfg = cfg
         self.tcfg = tcfg
         self.mesh = mesh
         self.dtype = dtype
         self.results_path = results_path
         self.verbose = verbose
+        self.bridge_chunk = int(bridge_chunk)
 
         if fh is None and fh_batch is None:
             fh = make_fh_fun(model, cfg, factor_dtype=factor_dtype, refine_iters=refine_iters)
@@ -297,8 +304,9 @@ class TwoStepTrainer:
         return params, hist
 
     # ------------------------------------------------------------------
-    def bridge(self, y_data, e_data, theta_params, key, chunk: int = 4096):
+    def bridge(self, y_data, e_data, theta_params, key, chunk=None):
         """Posterior-sample sweep -> cached log-z moments (``:310-328``)."""
+        chunk = self.bridge_chunk if chunk is None else chunk
         y_data = jnp.asarray(y_data, self.dtype)
         e_data = jnp.asarray(e_data, self.dtype)
         n, ne = y_data.shape[0], e_data.shape[0]
