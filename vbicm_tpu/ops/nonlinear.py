@@ -63,6 +63,34 @@ def strain_energy_density(eps3, mat: PowerLawMaterial):
     return vol + dev_e
 
 
+def stress6_power_law(eps3, mat: PowerLawMaterial):
+    """Closed-form 6-stress ``sigma = d psi / d eps`` for the power-law
+    material under plane strain (e33 = 0), in the reference's storage layout
+    [s11, s22, s33, t12, t23, t31] (``src/mat_subroutine.py:76-81``).
+
+    sigma = K tr(eps) I + 2 mu_sec dev(eps),  mu_sec = mu (1 + gbar^2/g0^2)^(m-1)
+
+    ``m = 1`` reduces to :func:`stress6_plane_strain` exactly. Engineering
+    shear: t12 = mu_sec * g12 (dev_12 = g12/2). A unit test pins this
+    against ``jax.grad`` of :func:`strain_energy_density`.
+    """
+    e11, e22, g12 = eps3[..., 0], eps3[..., 1], eps3[..., 2]
+    tr = e11 + e22
+    d11 = e11 - tr / 3.0
+    d22 = e22 - tr / 3.0
+    d33 = -tr / 3.0
+    dev2 = d11**2 + d22**2 + d33**2 + 0.5 * g12**2
+    gbar2 = 2.0 * dev2
+    mu_sec = mat.mu * (1.0 + gbar2 / mat.g0**2) ** (mat.m - 1.0)
+    bulk = (mat.lam + 2.0 * mat.mu / 3.0) * tr
+    s11 = bulk + 2.0 * mu_sec * d11
+    s22 = bulk + 2.0 * mu_sec * d22
+    s33 = bulk + 2.0 * mu_sec * d33
+    t12 = mu_sec * g12
+    zero = jnp.zeros_like(t12)
+    return jnp.stack([s11, s22, s33, t12, zero, zero], axis=-1)
+
+
 def make_potential(model, f_ext=None) -> Callable:
     """Total potential ``Pi(u_free_masked, mat) = sum_qpt w psi - f.u``.
 

@@ -355,6 +355,65 @@ def make_fh_fun(
     return fh
 
 
+def make_fh_fun_nonlinear(
+    model: FemModel,
+    cfg: ProblemConfig = ProblemConfig(),
+    *,
+    g0: float = 0.05,
+    m: float = 1.0,
+    **newton_kw,
+) -> Callable:
+    """Observation operator ``fh(theta) -> (y, h)`` through the NONLINEAR
+    power-law forward model (``ops.nonlinear``) — amortized VI on a
+    nonlinear constitutive law, beyond the reference's linear-only pipeline
+    (its nonlinear control cards, ``model_property_cards.py:39-68``, are
+    dormant).
+
+    Same theta -> (E, nu) map and probe layout as :func:`make_fh_fun`;
+    (E, nu) -> Lame (lam, mu) feeds :func:`ops.nonlinear.make_nonlinear_solver`
+    (Newton + HVP-CG tangent, implicit-adjoint VJP), and the probe stress is
+    the power-law secant stress ``stress6_power_law`` so h(theta) is the von
+    Mises of the ACTUAL nonlinear constitutive response. ``m = 1`` reproduces
+    :func:`make_fh_fun` exactly (a test pins values and gradients).
+
+    Batch with ``jax.vmap(fh)`` — the Newton/CG ``lax.while_loop``s batch
+    natively. Pass straight into ``TwoStepTrainer(fh=...)``.
+    """
+    from .ops.nonlinear import (
+        PowerLawMaterial,
+        make_nonlinear_solver,
+        stress6_power_law,
+    )
+
+    solve = make_nonlinear_solver(model, g0=g0, m=m, **newton_kw)
+    tm = jnp.asarray(cfg.theta_map.theta_mean, model.dtype)
+    ts = jnp.asarray(cfg.theta_map.theta_std, model.dtype)
+    if not (1 <= cfg.node_id <= model.nnodes):
+        raise ValueError(f"probe node_id {cfg.node_id} outside [1, {model.nnodes}]")
+    if not (1 <= cfg.ele_id <= model.nele):
+        raise ValueError(f"probe ele_id {cfg.ele_id} outside [1, {model.nele}]")
+    obs_full = model.ndm * (cfg.node_id - 1) + np.arange(model.ndm)
+    obs_dofs = jnp.asarray(np.asarray(model.dof_map)[obs_full])
+    e = cfg.ele_id - 1
+    q = jnp.asarray(cfg.nipt_id, dtype=jnp.int32) - 1
+    B_probe = model.B[e, q]
+    lm_probe = model.lm[e]
+
+    def fh(theta):
+        theta = jnp.asarray(theta, model.dtype)
+        E = jnp.exp(ts[0] * theta[0] + tm[0])
+        v = 0.5 * jax.nn.sigmoid(ts[1] * theta[1] + tm[1])
+        lam, mu = material_coeffs(model.stype, E, v)
+        u = solve(lam, mu)
+        y = u[obs_dofs]
+        eps3 = jnp.einsum("qai,i->qa", B_probe, u[lm_probe])
+        sig6 = stress6_power_law(eps3, PowerLawMaterial(lam=lam, mu=mu, g0=g0, m=m))
+        h = von_mises_reference(sig6)
+        return y, h
+
+    return fh
+
+
 def make_coarse_spectral_apply(
     coarse_model: FemModel, *, f32_precision=jax.lax.Precision.HIGHEST
 ) -> Callable:
