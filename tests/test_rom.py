@@ -88,3 +88,44 @@ def test_rom_scaled_mesh_smoke():
     )
     err = np.linalg.norm(u_rom - np.asarray(u_cg)) / np.linalg.norm(np.asarray(u_cg))
     assert err < 1e-8, err
+
+
+def test_rom_fh_3d_matches_full_order():
+    """make_fh_fun_rom on a 3-D hex8 box (ndm-generic probe layout) against
+    the full-order fh, values and theta-gradients."""
+    import dataclasses
+
+    from vbicm_tpu.config import ProblemConfig, SectionCard
+    from vbicm_tpu.mesh.solid3d import beam_hex8_mesh
+    from vbicm_tpu.rom import build_reduced_basis, make_fh_fun_rom
+    from vbicm_tpu.solver import make_fh_fun
+
+    model = build_fem_model(
+        beam_hex8_mesh(4, 2, 2), SectionCard(stype=4), dense=True
+    )
+    cfg = dataclasses.replace(
+        ProblemConfig(), y_dim=3, node_id=model.nnodes, ele_id=8,
+        nipt_id=(1, 5),
+    )
+    # 3-D floor: the greedy stagnates ~3e-11 relative (true-residual floor
+    # on this model); tol below that must return the floor basis, not hang
+    rb = build_reduced_basis(model, tol=1e-11)
+    assert rb.max_rel_residual < 1e-9
+    fh_rom = make_fh_fun_rom(model, rb, cfg)
+    fh_full = make_fh_fun(model, cfg)
+    thetas = jnp.asarray(np.random.default_rng(0).standard_normal((4, 2)))
+    y_r, h_r = jax.vmap(fh_rom)(thetas)
+    y_f, h_f = jax.vmap(fh_full)(thetas)
+    assert y_r.shape == (4, 3)
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_r), np.asarray(h_f), rtol=1e-6)
+
+    def loss(fh):
+        def f(t):
+            y, h = jax.vmap(fh)(t)
+            return jnp.sum(y**2) + jnp.sum(h)
+        return f
+
+    g_r = jax.grad(loss(fh_rom))(thetas)
+    g_f = jax.grad(loss(fh_full))(thetas)
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_f), rtol=1e-5)

@@ -127,7 +127,8 @@ def build_reduced_basis(
             if Q.shape[1]:
                 v -= Q @ (Q.T @ v)
         nv = np.linalg.norm(v)
-        if nv > 1e-13 * np.linalg.norm(u):
+        grew = nv > 1e-13 * np.linalg.norm(u)
+        if grew:
             Q = np.concatenate([Q, (v / nv)[:, None]], axis=1)
         # evaluate true residuals over the grid with the current basis
         AQ, BQ = A @ Q, B @ Q
@@ -139,6 +140,20 @@ def build_reduced_basis(
             res[i] = np.linalg.norm(f - (t * (AQ @ ur) + BQ @ ur)) / fnorm
         max_res = float(res.max())
         if max_res < tol:
+            break
+        if not grew:
+            # the worst-t snapshot adds no new direction: the solution
+            # manifold is exhausted at working precision and ``max_res`` is
+            # the attainable floor (3e-11 measured on a 3-D hex8 beam).
+            # Without this break the greedy spins forever re-selecting the
+            # same t (Q never reaches max_basis, res never drops below tol).
+            import warnings
+
+            warnings.warn(
+                f"reduced basis stagnated at r={Q.shape[1]} with max relative "
+                f"residual {max_res:.2e} > tol={tol:.0e}; returning the "
+                "floor-accuracy basis (check rb.max_rel_residual)"
+            )
             break
         next_t = float(ts[int(res.argmax())])
 
@@ -211,16 +226,17 @@ def make_fh_fun_rom(
     tm = jnp.asarray(cfg.theta_map.theta_mean, dt)
     ts = jnp.asarray(cfg.theta_map.theta_std, dt)
     # probe indices map through dof_map (identity unless equality
-    # constraints renumbered the solver space)
-    obs_full = np.array([2 * (cfg.node_id - 1), 2 * (cfg.node_id - 1) + 1])
+    # constraints renumbered the solver space); ndm-generic (2-D and 3-D
+    # box models alike — the basis builder is dimension-agnostic already)
+    obs_full = model.ndm * (cfg.node_id - 1) + np.arange(model.ndm)
     obs_dofs = np.asarray(model.dof_map)[obs_full]
     e = cfg.ele_id - 1
     q = np.asarray(cfg.nipt_id, dtype=np.int32) - 1
-    B_probe = model.B[e, q]  # (nq, 3, 8)
+    B_probe = model.B[e, q]  # (nq, 3, 8) 2-D / (nq, 6, 24) hex8
     lm_probe = np.asarray(model.lm[e])
 
-    Q_obs = jnp.asarray(rb.Q[obs_dofs], dt)  # (2, r)
-    Q_ele = jnp.asarray(rb.Q[lm_probe], dt)  # (8, r)
+    Q_obs = jnp.asarray(rb.Q[obs_dofs], dt)  # (ndm, r)
+    Q_ele = jnp.asarray(rb.Q[lm_probe], dt)  # (edof, r)
     g = jnp.asarray(rb.g, dt)
     V = jnp.asarray(rb.V, dt)
     fV = jnp.asarray(rb.V.T @ rb.f_r, dt)
