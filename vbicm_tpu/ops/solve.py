@@ -660,3 +660,103 @@ def make_matfree_affine_solver(
     return solve
 
 
+
+# ---------------------------------------------------------------------------
+# Per-element coefficient field solver (random-field inversion)
+# ---------------------------------------------------------------------------
+
+
+def make_field_solver(
+    ke_unit,
+    lm,
+    free_mask,
+    ndof: int,
+    *,
+    tol: float = 1e-12,
+    maxiter: int = 4000,
+    cg_dtype=None,
+    refine_iters: int = 0,
+):
+    """Differentiable matrix-free solver for a PER-ELEMENT coefficient field:
+
+        K(E) = assemble( E_e * ke_unit_e ),   E: (nele,) positive field
+
+    the operator family behind spatially-varying-stiffness (random-field)
+    inversion — beyond the reference's two-scalar affine decomposition
+    (``K = c0 K_lam + c1 K_mu``); there is no counterpart in
+    ``/root/reference`` (its material is homogeneous,
+    ``model_property_cards.py:25``).
+
+    ke_unit: (nele, edof, edof) unit-modulus element blocks (both Lame
+    parameters are linear in E at fixed nu, so ``ke_unit = lam(1,nu)*ke_lam
+    + mu(1,nu)*ke_mu``). ``solve(E, f)`` maps full-dof vectors with fixed
+    dofs masked to zero. Jacobi-PCG forward; adjoint custom VJP with
+
+        Ebar_e = - w_e^T (ke_unit_e u_e)     (per-element contraction)
+
+    The batched-contraction bf16 trap (docs/KNOWN_ISSUES.md) is avoided by
+    construction: the big einsum operand ``ke_unit`` is CONSTANT across the
+    vmap batch and the E-field enters as an elementwise broadcast, never a
+    batched dot_general.
+
+    ``cg_dtype=jnp.float32`` + ``refine_iters`` = the same TPU
+    mixed-precision policy as :func:`make_matfree_affine_solver` (f32 MXU
+    CG, f64 residual refinement).
+    """
+    ke_unit = jnp.asarray(ke_unit)
+    lm_np = lm
+    lm = jnp.asarray(lm)
+    free_mask = jnp.asarray(free_mask)
+    ke_cg = ke_unit if cg_dtype is None else ke_unit.astype(cg_dtype)
+    mask_cg = free_mask if cg_dtype is None else free_mask.astype(cg_dtype)
+    _scatter = make_sorted_scatter(lm_np, ndof)
+    # per-element unit diagonals, assembled per element so the E-weighted
+    # Jacobi diagonal is one scatter of broadcast values
+    diag_e = jnp.diagonal(ke_cg, axis1=-2, axis2=-1)  # (nele, edof)
+
+    def _matvec(ke, mask, E, x):
+        xm = x * mask
+        qe = jnp.einsum(
+            "eij,ej->ei", ke, xm[lm], precision=jax.lax.Precision.HIGHEST
+        )
+        y = _scatter(E[:, None].astype(qe.dtype) * qe)
+        return y * mask + x * (1.0 - mask)
+
+    def _cg_once(E, b):
+        mv = lambda x: _matvec(ke_cg, mask_cg, E, x)
+        d = _scatter(E[:, None].astype(diag_e.dtype) * diag_e)
+        d = jnp.where(mask_cg > 0, jnp.where(d == 0, 1.0, d), 1.0)
+        bc = (b * free_mask).astype(ke_cg.dtype)
+        x, _, _ = pcg(mv, bc, 1.0 / d, tol=tol, maxiter=maxiter)
+        return x
+
+    def _solve_once(E, b):
+        x = _cg_once(E, b).astype(b.dtype)
+        for _ in range(refine_iters):
+            r = b * free_mask - _matvec(ke_unit, free_mask, E, x) * free_mask
+            x = x + _cg_once(E, r).astype(b.dtype)
+        return x * free_mask
+
+    @jax.custom_vjp
+    def solve(E, f):
+        return _solve_once(E, f)
+
+    def _fwd(E, f):
+        u = _solve_once(E, f)
+        return u, (E, u)
+
+    def _bwd(res, ubar):
+        E, u = res
+        w = _solve_once(E, ubar)
+        ku = jnp.einsum(
+            "eij,ej->ei", ke_unit, (u * free_mask)[lm],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        Ebar = -jnp.einsum(
+            "ei,ei->e", (w * free_mask)[lm], ku,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return Ebar.astype(E.dtype), w
+
+    solve.defvjp(_fwd, _bwd)
+    return solve

@@ -1,0 +1,154 @@
+"""Random-field material inversion: KL-expansion of a spatially varying
+log-Young's-modulus field, inferred by the same amortized two-step VI.
+
+Beyond the reference — its material is homogeneous (two scalars,
+``model_property_cards.py:25``; the theta -> (E, nu) map at
+``src/data_generation_2sam_more_loss.py:182-186``). This module scales the
+PARAMETER dimension instead of the mesh: theta in R^d are the coefficients
+of a truncated Karhunen-Loeve expansion of a stationary Gaussian field
+
+    log E(x) = log E0 + sum_k theta_k sqrt(lambda_k) phi_k(x),
+    theta_k ~ N(0, 1)  (the VI prior, exactly as in the scalar pipeline)
+
+evaluated at element centroids (piecewise-constant modulus). The forward
+solve uses the per-element-coefficient operator
+:func:`ops.solve.make_field_solver`; observations are displacement probes
+at several nodes (a field needs more than one probe to be identifiable).
+Everything downstream — ELBO terms, two-step trainer, MCMC reference —
+is already dimension-generic in theta, so this plugs straight into
+``TwoStepTrainer(fh=...)`` with ``ProblemConfig(theta_dim=d, y_dim=...)``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ProblemConfig
+from ..model import FemModel
+from ..ops.element import lame_from_Ev
+from ..ops.solve import make_field_solver
+from ..ops.vonmises import von_mises_reference
+
+
+@dataclasses.dataclass(frozen=True)
+class KLExpansion:
+    """Truncated KL basis of the log-modulus field at element centroids."""
+
+    modes: np.ndarray  # (n_modes, nele): sqrt(lambda_k) * phi_k
+    eigvals: np.ndarray  # (n_modes,) covariance eigenvalues
+    mean_log: float  # log E0
+    corr_len: float
+    sigma: float
+
+    @property
+    def n_modes(self) -> int:
+        return int(self.modes.shape[0])
+
+
+def element_centroids(model: FemModel) -> np.ndarray:
+    """(nele, ndm) element centroids (mean of corner coordinates)."""
+    coords = np.asarray(model.coords)
+    conn = np.asarray(model.conn)
+    return coords[conn].mean(axis=1)
+
+
+def build_kl_expansion(
+    model: FemModel,
+    *,
+    n_modes: int = 8,
+    corr_len: float = 15.0,
+    sigma: float = 0.3,
+    mean_log: float = float(np.log(20.0)),
+) -> KLExpansion:
+    """Host-side KL of a squared-exponential covariance at element centroids.
+
+    C(x, x') = sigma^2 exp(-|x - x'|^2 / (2 l^2)), discretized on the
+    centroid cloud with uniform element weights (exact for uniform meshes;
+    a consistent-mass Galerkin discretization changes eigenvalues by O(h)).
+    Dense eigh — fine to ~20k elements; the offline cost is once per mesh.
+    """
+    x = element_centroids(model)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    C = sigma**2 * np.exp(-d2 / (2.0 * corr_len**2))
+    # uniform quadrature weight w = 1/nele keeps phi_k O(1) and orthonormal
+    # in the weighted inner product; lambda_k then carry the field variance
+    w = 1.0 / C.shape[0]
+    evals, evecs = np.linalg.eigh(C * w)
+    idx = np.argsort(evals)[::-1][:n_modes]
+    lam = np.clip(evals[idx], 0.0, None)
+    phi = evecs[:, idx].T / np.sqrt(w)  # orthonormal under w-weighted dot
+    modes = np.sqrt(lam)[:, None] * phi
+    return KLExpansion(
+        modes=modes, eigvals=lam, mean_log=float(mean_log),
+        corr_len=float(corr_len), sigma=float(sigma),
+    )
+
+
+def field_from_theta(kl: KLExpansion, theta, dtype=jnp.float64):
+    """E(theta): (n_modes,) -> (nele,) positive modulus field."""
+    modes = jnp.asarray(kl.modes, dtype)
+    return jnp.exp(kl.mean_log + theta.astype(dtype) @ modes)
+
+
+def make_fh_fun_field(
+    model: FemModel,
+    kl: KLExpansion,
+    cfg: ProblemConfig,
+    *,
+    probe_nodes: Sequence[int],
+    nu: float = 0.3,
+    tol: float = 1e-12,
+    maxiter: int = 4000,
+    cg_dtype=None,
+    refine_iters: int = 0,
+) -> Callable:
+    """Observation operator ``fh(theta) -> (y, h)`` for the random-field model.
+
+    theta: (kl.n_modes,) standard-normal KL coefficients.
+    y: displacements at ``probe_nodes`` (1-based node ids), dim = len * ndm —
+    set ``cfg.y_dim`` and ``cfg.theta_dim`` accordingly for the trainer.
+    h: reference-convention von Mises at ``cfg.ele_id`` / ``cfg.nipt_id``,
+    computed with the LOCAL element modulus (the stress at a point sees the
+    stiffness at that point).
+    """
+    if model.has_constraints or model.has_springs or model.has_prescribed:
+        raise NotImplementedError(
+            "random-field solver assumes the plain force-controlled operator"
+        )
+    lam1, mu1 = lame_from_Ev(1.0, nu)
+    ke_unit = lam1 * jnp.asarray(model.ke_lam) + mu1 * jnp.asarray(model.ke_mu)
+    solve = make_field_solver(
+        ke_unit, np.asarray(model.lm), model.free_mask, model.ndof,
+        tol=tol, maxiter=maxiter, cg_dtype=cg_dtype, refine_iters=refine_iters,
+    )
+    probe_nodes = np.asarray(probe_nodes, dtype=np.int64)
+    if probe_nodes.min() < 1 or probe_nodes.max() > model.nnodes:
+        raise ValueError("probe_nodes outside [1, nnodes]")
+    obs = (
+        model.ndm * (probe_nodes[:, None] - 1) + np.arange(model.ndm)[None, :]
+    ).reshape(-1)
+    obs_dofs = jnp.asarray(obs)
+    e = cfg.ele_id - 1
+    q = jnp.asarray(cfg.nipt_id, dtype=jnp.int32) - 1
+    B_probe = model.B[e, q]
+    lm_probe = model.lm[e]
+    f_ext = model.f_ext
+    lam_nu, mu_nu = lame_from_Ev(1.0, nu)  # per-unit-E Lame pair
+
+    from ..solver import _stress6
+
+    def fh(theta):
+        E = field_from_theta(kl, theta, model.dtype)
+        u = solve(E, f_ext)
+        y = u[obs_dofs]
+        eps3 = jnp.einsum("qai,i->qa", B_probe, u[lm_probe])
+        Ee = E[e]
+        sig6 = _stress6(model, eps3, lam_nu * Ee, mu_nu * Ee)
+        h = von_mises_reference(sig6)
+        return y, h
+
+    return fh
