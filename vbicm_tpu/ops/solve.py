@@ -676,6 +676,7 @@ def make_field_solver(
     maxiter: int = 4000,
     cg_dtype=None,
     refine_iters: int = 0,
+    preconditioner=None,
 ):
     """Differentiable matrix-free solver for a PER-ELEMENT coefficient field:
 
@@ -702,6 +703,12 @@ def make_field_solver(
     ``cg_dtype=jnp.float32`` + ``refine_iters`` = the same TPU
     mixed-precision policy as :func:`make_matfree_affine_solver` (f32 MXU
     CG, f64 residual refinement).
+
+    ``preconditioner(E, diag_inv, r) -> z``: optional hook replacing plain
+    Jacobi — e.g. a two-level cycle built at the MEAN field (the field
+    operator is spectrally equivalent to the homogeneous one within the
+    field's range ratio, so a fixed-coefficient coarse solve preconditions
+    every sample; see ``prob.randomfield.make_mean_field_preconditioner``).
     """
     ke_unit = jnp.asarray(ke_unit)
     lm_np = lm
@@ -726,8 +733,12 @@ def make_field_solver(
         mv = lambda x: _matvec(ke_cg, mask_cg, E, x)
         d = _scatter(E[:, None].astype(diag_e.dtype) * diag_e)
         d = jnp.where(mask_cg > 0, jnp.where(d == 0, 1.0, d), 1.0)
+        if preconditioner is not None:
+            prec = lambda r: preconditioner(E, 1.0 / d, r)
+        else:
+            prec = 1.0 / d
         bc = (b * free_mask).astype(ke_cg.dtype)
-        x, _, _ = pcg(mv, bc, 1.0 / d, tol=tol, maxiter=maxiter)
+        x, _, _ = pcg(mv, bc, prec, tol=tol, maxiter=maxiter)
         return x
 
     def _solve_once(E, b):

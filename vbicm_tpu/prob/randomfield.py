@@ -63,6 +63,7 @@ def build_kl_expansion(
     corr_len: float = 15.0,
     sigma: float = 0.3,
     mean_log: float = float(np.log(20.0)),
+    dense_eigh_threshold: int = 2000,
 ) -> KLExpansion:
     """Host-side KL of a squared-exponential covariance at element centroids.
 
@@ -72,13 +73,38 @@ def build_kl_expansion(
     Dense eigh — fine to ~20k elements; the offline cost is once per mesh.
     """
     x = element_centroids(model)
-    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    # |x-x'|^2 = |x|^2 + |x'|^2 - 2 x.x' — one BLAS-3 gram matrix instead
+    # of the (n, n, ndm) broadcast intermediate (which is 30x slower at
+    # nele ~ 1e4: O(n^2 ndm) strided memory traffic vs one GEMM)
+    sq = (x**2).sum(axis=1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (x @ x.T), 0.0)
     C = sigma**2 * np.exp(-d2 / (2.0 * corr_len**2))
     # uniform quadrature weight w = 1/nele keeps phi_k O(1) and orthonormal
     # in the weighted inner product; lambda_k then carry the field variance
     w = 1.0 / C.shape[0]
-    evals, evecs = np.linalg.eigh(C * w)
-    idx = np.argsort(evals)[::-1][:n_modes]
+    if C.shape[0] <= dense_eigh_threshold:
+        evals, evecs = np.linalg.eigh(C * w)
+        idx = np.argsort(evals)[::-1][:n_modes]
+    else:
+        # scaled meshes: a dense eigh at nele ~ 1e4 is O(n^3) minutes on
+        # one host core. Randomized subspace iteration (Halko et al.) needs
+        # only a handful of BLAS-3 passes over C and is exact to working
+        # precision for the SE kernel's exponentially decaying spectrum
+        # (deterministic seed -> reproducible basis).
+        rng = np.random.default_rng(0)
+        Cw = C * w
+        q = min(n_modes + 8, Cw.shape[0])
+        Y = Cw @ rng.standard_normal((Cw.shape[0], q))
+        for _ in range(2):  # power iterations sharpen the subspace
+            Y, _ = np.linalg.qr(Y)
+            Y = Cw @ Y
+        Q, _ = np.linalg.qr(Y)
+        T = Q.T @ (Cw @ Q)
+        T = 0.5 * (T + T.T)
+        tvals, tvecs = np.linalg.eigh(T)
+        evals = tvals
+        evecs = Q @ tvecs
+        idx = np.argsort(evals)[::-1][:n_modes]
     lam = np.clip(evals[idx], 0.0, None)
     phi = evecs[:, idx].T / np.sqrt(w)  # orthonormal under w-weighted dot
     modes = np.sqrt(lam)[:, None] * phi
@@ -94,6 +120,51 @@ def field_from_theta(kl: KLExpansion, theta, dtype=jnp.float64):
     return jnp.exp(kl.mean_log + theta.astype(dtype) @ modes)
 
 
+def make_mean_field_preconditioner(
+    coarse_model: FemModel,
+    nx_coarse: int,
+    ny_coarse: int,
+    ratio: int,
+    free_mask,
+    *,
+    nu: float = 0.3,
+    E0: float = 20.0,
+    omega: float = 0.6,
+) -> Callable:
+    """Two-level preconditioner for the FIELD operator, built at the mean
+    field E = E0 (homogeneous coefficients).
+
+    The field operator K(E) is spectrally equivalent to the homogeneous
+    K(E0) with constants min(E/E0), max(E/E0) — for a lognormal field with
+    sigma ~ 0.3 that ratio is ~e^(6 sigma) ~ 6, so the fixed-coefficient
+    spectral coarse solve + conv-form transfers precondition EVERY sample
+    without per-sample coarse setup. The Jacobi half DOES see the true
+    per-sample field (make_field_solver passes the E-weighted diagonal).
+    Signature matches ``make_field_solver(preconditioner=...)``:
+    ``prec(E, diag_inv, r) -> z``.
+    """
+    import jax.numpy as jnp  # local alias for clarity
+
+    from ..ops.multigrid import (
+        make_grid_transfer_conv,
+        make_two_level_preconditioner,
+    )
+    from ..solver import make_coarse_spectral_apply
+
+    coarse_apply = make_coarse_spectral_apply(coarse_model)
+    gt = make_grid_transfer_conv(nx_coarse, ny_coarse, ratio)
+    prec2, _, _ = make_two_level_preconditioner(
+        None, None, coarse_apply, free_mask, omega=omega, grid_transfer=gt
+    )
+    lam0, mu0 = lame_from_Ev(E0, nu)
+    coeffs0 = jnp.stack([jnp.asarray(lam0), jnp.asarray(mu0)])
+
+    def prec(E, diag_inv, r):
+        return prec2(coeffs0.astype(r.dtype), diag_inv, r)
+
+    return prec
+
+
 def make_fh_fun_field(
     model: FemModel,
     kl: KLExpansion,
@@ -105,6 +176,7 @@ def make_fh_fun_field(
     maxiter: int = 4000,
     cg_dtype=None,
     refine_iters: int = 0,
+    preconditioner=None,
 ) -> Callable:
     """Observation operator ``fh(theta) -> (y, h)`` for the random-field model.
 
@@ -124,6 +196,7 @@ def make_fh_fun_field(
     solve = make_field_solver(
         ke_unit, np.asarray(model.lm), model.free_mask, model.ndof,
         tol=tol, maxiter=maxiter, cg_dtype=cg_dtype, refine_iters=refine_iters,
+        preconditioner=preconditioner,
     )
     probe_nodes = np.asarray(probe_nodes, dtype=np.int64)
     if probe_nodes.min() < 1 or probe_nodes.max() > model.nnodes:
