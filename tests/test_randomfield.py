@@ -147,6 +147,40 @@ def test_centroids_shape(small_model):
     assert c[:, 0].min() > 0 and c[:, 0].max() < 48
 
 
+def test_field_solver_grid_mode_matches_gather(small_model, kl):
+    """grid=(nx, ny) structured mode (reshape/slice gather-scatter) ==
+    the lm-table mode, values and E-gradients."""
+    nx, ny = 10, 5
+    lam1, mu1 = lame_from_Ev(1.0, NU)
+    ke_unit = lam1 * jnp.asarray(small_model.ke_lam) + mu1 * jnp.asarray(
+        small_model.ke_mu
+    )
+    b = jnp.asarray(small_model.f_ext)
+    kw = dict(tol=1e-12, maxiter=4000)
+    s_lm = make_field_solver(
+        ke_unit, np.asarray(small_model.lm), small_model.free_mask,
+        small_model.ndof, **kw,
+    )
+    s_gr = make_field_solver(
+        ke_unit, np.asarray(small_model.lm), small_model.free_mask,
+        small_model.ndof, grid=(nx, ny), **kw,
+    )
+    theta = jax.random.normal(jax.random.PRNGKey(7), (N_MODES,))
+    E = field_from_theta(kl, theta, small_model.dtype)
+    np.testing.assert_allclose(
+        np.asarray(s_gr(E, b)), np.asarray(s_lm(E, b)), atol=1e-12
+    )
+    g_lm = jax.grad(lambda ee: jnp.sum(s_lm(ee, b) ** 2))(E)
+    g_gr = jax.grad(lambda ee: jnp.sum(s_gr(ee, b) ** 2))(E)
+    np.testing.assert_allclose(np.asarray(g_gr), np.asarray(g_lm), rtol=1e-9)
+    # a wrong grid declaration is rejected, not silently mis-assembled
+    with pytest.raises(ValueError):
+        make_field_solver(
+            ke_unit, np.asarray(small_model.lm), small_model.free_mask,
+            small_model.ndof, grid=(5, 10), **kw,
+        )
+
+
 def test_randomized_kl_matches_dense_eigh(small_model, kl):
     """The scaled-mesh randomized subspace iteration reproduces the dense
     eigh KL basis (eigenvalues to machine precision; modes up to sign)."""

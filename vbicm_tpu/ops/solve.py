@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from .assembly import make_sorted_scatter
@@ -677,6 +678,7 @@ def make_field_solver(
     cg_dtype=None,
     refine_iters: int = 0,
     preconditioner=None,
+    grid=None,
 ):
     """Differentiable matrix-free solver for a PER-ELEMENT coefficient field:
 
@@ -709,14 +711,58 @@ def make_field_solver(
     operator is spectrally equivalent to the homogeneous one within the
     field's range ratio, so a fixed-coefficient coarse solve preconditions
     every sample; see ``prob.randomfield.make_mean_field_preconditioner``).
+
+    ``grid=(nx, ny)``: declares the structured quad4 layout of
+    ``mesh/cooks.py`` (node id = row*(nx+1)+col, element e = r*nx+c with
+    conn (n0, n0+1, n0+nx+2, n0+nx+1)). The element gather/scatter in the
+    CG hot loop then becomes reshape + 4 static shifted slices / padded
+    adds — zero index traffic, the same structured-grid rewrite that took
+    the homogeneous path from the element matvec to the stencil form
+    (``ops/stencil.py`` module docstring). The lm table is validated
+    against the declared layout at build time.
     """
     ke_unit = jnp.asarray(ke_unit)
-    lm_np = lm
+    lm_np = np.asarray(lm)
     lm = jnp.asarray(lm)
     free_mask = jnp.asarray(free_mask)
     ke_cg = ke_unit if cg_dtype is None else ke_unit.astype(cg_dtype)
     mask_cg = free_mask if cg_dtype is None else free_mask.astype(cg_dtype)
-    _scatter = make_sorted_scatter(lm_np, ndof)
+    if grid is not None:
+        nx, ny = grid
+        NY, NX = ny + 1, nx + 1
+        nele = nx * ny
+        if lm_np.shape[0] != nele or ndof != NY * NX * 2:
+            raise ValueError("lm/ndof do not match the declared (nx, ny) grid")
+        # local node (row, col) offsets for conn order (n0, n0+1, n0+nx+2, n0+nx+1)
+        lpos = ((0, 0), (0, 1), (1, 1), (1, 0))
+        rr, cc = np.divmod(np.arange(nele), nx)
+        nodes = np.stack([(rr + oy) * NX + (cc + ox) for oy, ox in lpos], axis=1)
+        lm_expect = (2 * nodes[:, :, None] + np.arange(2)[None, None, :]).reshape(
+            nele, 8
+        )
+        if not np.array_equal(lm_np, lm_expect):
+            raise ValueError("lm table does not follow the structured-grid layout")
+
+        def _gather(x):
+            g = x.reshape(NY, NX, 2)
+            return jnp.concatenate(
+                [
+                    jax.lax.slice(g, (oy, ox, 0), (oy + ny, ox + nx, 2))
+                    for oy, ox in lpos
+                ],
+                axis=-1,
+            ).reshape(nele, 8)
+
+        def _scatter(qe):
+            q = qe.reshape(ny, nx, 4, 2)
+            out = jnp.zeros((NY, NX, 2), qe.dtype)
+            for li, (oy, ox) in enumerate(lpos):
+                out = out.at[oy : oy + ny, ox : ox + nx, :].add(q[:, :, li, :])
+            return out.reshape(-1)
+
+    else:
+        _scatter = make_sorted_scatter(lm_np, ndof)
+        _gather = lambda x: x[lm]
     # per-element unit diagonals, assembled per element so the E-weighted
     # Jacobi diagonal is one scatter of broadcast values
     diag_e = jnp.diagonal(ke_cg, axis1=-2, axis2=-1)  # (nele, edof)
@@ -724,7 +770,7 @@ def make_field_solver(
     def _matvec(ke, mask, E, x):
         xm = x * mask
         qe = jnp.einsum(
-            "eij,ej->ei", ke, xm[lm], precision=jax.lax.Precision.HIGHEST
+            "eij,ej->ei", ke, _gather(xm), precision=jax.lax.Precision.HIGHEST
         )
         y = _scatter(E[:, None].astype(qe.dtype) * qe)
         return y * mask + x * (1.0 - mask)
@@ -760,11 +806,11 @@ def make_field_solver(
         E, u = res
         w = _solve_once(E, ubar)
         ku = jnp.einsum(
-            "eij,ej->ei", ke_unit, (u * free_mask)[lm],
+            "eij,ej->ei", ke_unit, _gather(u * free_mask),
             precision=jax.lax.Precision.HIGHEST,
         )
         Ebar = -jnp.einsum(
-            "ei,ei->e", (w * free_mask)[lm], ku,
+            "ei,ei->e", _gather(w * free_mask), ku,
             precision=jax.lax.Precision.HIGHEST,
         )
         return Ebar.astype(E.dtype), w

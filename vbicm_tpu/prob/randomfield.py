@@ -177,6 +177,7 @@ def make_fh_fun_field(
     cg_dtype=None,
     refine_iters: int = 0,
     preconditioner=None,
+    grid=None,
 ) -> Callable:
     """Observation operator ``fh(theta) -> (y, h)`` for the random-field model.
 
@@ -196,7 +197,7 @@ def make_fh_fun_field(
     solve = make_field_solver(
         ke_unit, np.asarray(model.lm), model.free_mask, model.ndof,
         tol=tol, maxiter=maxiter, cg_dtype=cg_dtype, refine_iters=refine_iters,
-        preconditioner=preconditioner,
+        preconditioner=preconditioner, grid=grid,
     )
     probe_nodes = np.asarray(probe_nodes, dtype=np.int64)
     if probe_nodes.min() < 1 or probe_nodes.max() > model.nnodes:
