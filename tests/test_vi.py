@@ -62,6 +62,29 @@ def test_term2_cross_vs_per_sample():
     np.testing.assert_allclose(t_cross1, t_per1, rtol=1e-12)
 
 
+def test_step1_grad_finite_at_variance_underflow():
+    """Collapsed variance head (log_sig so negative that exp(log_sig)
+    flushes to 0) must NOT produce a NaN gradient: the loss value stays
+    finite, so without the exp(0.5*log_sig) reparameterization the 0*inf
+    chain rule of sqrt(exp(.)) silently poisons the optimizer (observed at
+    epoch 19 of the sharp-likelihood random-field run before one NaN batch
+    killed it)."""
+    f = lambda th: jnp.sin(th)
+    e = jnp.asarray(np.random.default_rng(0).normal(size=(4, 2)))
+    loss_fn = make_loss_step1(f, e, 1e-3, "per_sample")
+    y = jnp.asarray(np.random.default_rng(1).normal(size=(3, 2)))
+
+    def objective(lts):
+        tm = jnp.zeros((3, 2))
+        return loss_fn(y, (tm, jnp.exp(lts), lts))
+
+    for bad in (-800.0, -100.0, -38.0):  # f64 underflow, TPU f32 flush, edge
+        lts = jnp.full((3, 2), bad)
+        val, grad = jax.value_and_grad(objective)(lts)
+        assert np.isfinite(float(val))
+        assert np.isfinite(np.asarray(grad)).all(), f"NaN grad at lts={bad}"
+
+
 def test_term2_manual_value():
     """term2 cross mode against a hand-rolled numpy evaluation."""
     rng = np.random.default_rng(0)

@@ -132,3 +132,11 @@ class TrainConfig:
     # update sequence; ~2x wall-clock on TPU where the B=64 step is
     # dispatch-bound). The remainder batch still runs as a single step.
     scan_epochs: bool = True
+    # Optional global-norm gradient clip (optax.clip_by_global_norm) applied
+    # before Adam in BOTH steps. None (default) = reference parity (no
+    # clipping). Sharp-likelihood problems (small sig_e, many probes — the
+    # random-field inversion) see per-batch gradient norms of 1e3-1e4 with
+    # occasional excursions; a clip around 10x the typical norm keeps one
+    # bad batch from derailing the optimizer without biasing steady-state
+    # updates.
+    clip_grad_norm: float | None = None

@@ -36,24 +36,38 @@ def term1(log_theta_sig):
     )
 
 
-def reparameterize(theta_mean, theta_sig, e_data):
+def reparameterize(theta_mean, theta_sig, e_data, log_theta_sig=None):
     """theta samples via fixed seeds: (B, d), (B, d), (ne, d) -> (B*ne, d).
 
     Matches the reference broadcast ``e_data * sqrt(sig)[:,None] +
     mean[:,None]`` then flatten (``:202-208``).
+
+    When ``log_theta_sig`` is given, the std is computed as
+    ``exp(0.5 * log_sig)`` instead of ``sqrt(exp(log_sig))`` — the same
+    function, but with a bounded chain rule: once the variance head drops
+    below ~-87 (TPU flushes subnormals, so ``exp(log_sig)`` becomes exactly
+    0.0), ``d sqrt(sig)/d log_sig = exp(log_sig) * 0.5/sqrt(sig)`` is
+    ``0 * inf = NaN`` even though the loss VALUE is still finite — one such
+    batch poisons the optimizer state permanently (observed in the sharp-
+    likelihood random-field runs, sig_e=1e-3, where the posterior collapse
+    drives log_sig far negative before the entropy term pulls it back).
     """
-    theta_std = jnp.sqrt(theta_sig)[:, None, :]
+    if log_theta_sig is not None:
+        theta_std = jnp.exp(0.5 * log_theta_sig)[:, None, :]
+    else:
+        theta_std = jnp.sqrt(theta_sig)[:, None, :]
     theta = e_data[None, :, :] * theta_std + theta_mean[:, None, :]
     return theta.reshape(-1, theta.shape[-1])
 
 
-def term2(y, theta_mean, theta_sig, e_data, batch_f, sig_e, pairing="cross"):
+def term2(y, theta_mean, theta_sig, e_data, batch_f, sig_e, pairing="cross",
+          log_theta_sig=None):
     """MC estimate of E_q[log p(y|theta)] with the FEM inside (``:199-214``).
 
     batch_f: thetas (N, d_theta) -> f (N, d_y) (first output of fh).
     """
     d_y = y.shape[-1]
-    theta_data = reparameterize(theta_mean, theta_sig, e_data)
+    theta_data = reparameterize(theta_mean, theta_sig, e_data, log_theta_sig)
     f_data = batch_f(theta_data)  # (B*ne, d_y)
     l1 = -0.5 * d_y * math.log(2.0 * math.pi * sig_e)
     if pairing == "cross":
@@ -82,7 +96,8 @@ def make_loss_step1(batch_f, e_data, sig_e, pairing="cross"):
     def loss(y, outputs):
         theta_mean, theta_sig, log_theta_sig = outputs
         t1 = term1(log_theta_sig)
-        t2 = term2(y, theta_mean, theta_sig, e_data, batch_f, sig_e, pairing)
+        t2 = term2(y, theta_mean, theta_sig, e_data, batch_f, sig_e, pairing,
+                   log_theta_sig=log_theta_sig)
         t3 = term3(theta_mean, theta_sig)
         return t1 - t2 - t3
 

@@ -146,15 +146,22 @@ class TwoStepTrainer:
         spec = P(None, "data", *([None] * (x.ndim - 2)))
         return jax.device_put(x, NamedSharding(self.mesh, spec))
 
-    def _opt_step1(self):
-        return optax.inject_hyperparams(optax.adam)(
-            learning_rate=self.tcfg.lr, b1=0.99, b2=0.999, eps=1e-10
+    def _with_clip(self, opt):
+        if self.tcfg.clip_grad_norm is None:
+            return opt
+        return optax.chain(
+            optax.clip_by_global_norm(float(self.tcfg.clip_grad_norm)), opt
         )
 
+    def _opt_step1(self):
+        return self._with_clip(optax.inject_hyperparams(optax.adam)(
+            learning_rate=self.tcfg.lr, b1=0.99, b2=0.999, eps=1e-10
+        ))
+
     def _opt_step2(self):
-        return optax.inject_hyperparams(optax.adam)(
+        return self._with_clip(optax.inject_hyperparams(optax.adam)(
             learning_rate=self.tcfg.lr, b1=0.9, b2=0.999, eps=1e-7
-        )
+        ))
 
     def _lr_decay(self, opt_state, hist, epoch, loss_val=0.0):
         """Reference (``:286-294``) or fixed decay-on-plateau.
@@ -173,8 +180,13 @@ class TwoStepTrainer:
         else:
             fire = (loss_val - hist[epoch - t.lr_patience]) > 0
         if fire:
-            opt_state.hyperparams["learning_rate"] = (
-                opt_state.hyperparams["learning_rate"] * t.decay_rate
+            # with clip_grad_norm the optimizer is a chain and the
+            # inject_hyperparams state is its last element
+            hp_state = opt_state
+            if not hasattr(hp_state, "hyperparams"):
+                hp_state = opt_state[-1]
+            hp_state.hyperparams["learning_rate"] = (
+                hp_state.hyperparams["learning_rate"] * t.decay_rate
             )
         return opt_state, bool(fire)
 
