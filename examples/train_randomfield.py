@@ -139,7 +139,9 @@ def main():
     logE_err = (np.asarray(tm) - np.asarray(t_true)) @ kl.modes  # (n_test, nele)
     prior_scale = np.sqrt((kl.modes**2).sum(0)).mean()  # prior field std
     rmse_field = float(np.sqrt((logE_err**2).mean()))
-    zscore = (np.asarray(tm) - np.asarray(t_true)) / np.asarray(tsig)
+    # tsig is the posterior VARIANCE (exp of the log-sig head) — z-scores
+    # normalize by the std
+    zscore = (np.asarray(tm) - np.asarray(t_true)) / np.sqrt(np.asarray(tsig))
     summary["test_logfield_rmse"] = round(rmse_field, 5)
     summary["prior_logfield_std"] = round(float(prior_scale), 5)
     summary["posterior_contraction"] = round(rmse_field / prior_scale, 4)

@@ -140,3 +140,14 @@ class TrainConfig:
     # bad batch from derailing the optimizer without biasing steady-state
     # updates.
     clip_grad_norm: float | None = None
+    # Resample the reparameterization draws every training step (textbook
+    # SVI) instead of reusing the dataset's fixed e_data seeds (the
+    # reference's common-random-numbers scheme, ``main_custom_training.py:
+    # 202-208``). Fixed CRN makes the step-1 MC objective DETERMINISTIC in
+    # (mu, sig), so the optimizer can exploit the particular draws: with a
+    # sharp likelihood the variance head collapses orders of magnitude
+    # below the true posterior variance (the ne_sam=4 sample set is fitted,
+    # not the expectation). Fresh draws keep the gradient an unbiased
+    # estimator of the true ELBO gradient; the fixed-point variance is then
+    # the actual posterior variance. Default False = reference parity.
+    resample_e: bool = False

@@ -91,12 +91,17 @@ def term3(theta_mean, theta_sig):
 
 
 def make_loss_step1(batch_f, e_data, sig_e, pairing="cross"):
-    """loss(y, (theta_mean, theta_sig, log_theta_sig)) for step 1."""
+    """loss(y, (theta_mean, theta_sig, log_theta_sig)[, e]) for step 1.
 
-    def loss(y, outputs):
+    ``e`` overrides the closed-over fixed seeds for this evaluation — used
+    by ``TrainConfig.resample_e`` to draw fresh reparameterization noise
+    every step (same (ne, d) shape)."""
+
+    def loss(y, outputs, e=None):
+        e = e_data if e is None else e
         theta_mean, theta_sig, log_theta_sig = outputs
         t1 = term1(log_theta_sig)
-        t2 = term2(y, theta_mean, theta_sig, e_data, batch_f, sig_e, pairing,
+        t2 = term2(y, theta_mean, theta_sig, e, batch_f, sig_e, pairing,
                    log_theta_sig=log_theta_sig)
         t3 = term3(theta_mean, theta_sig)
         return t1 - t2 - t3
@@ -146,7 +151,8 @@ def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross"):
     outputs = (theta_mean, theta_sig, z_mean, z_sig, log_z_sig).
     """
 
-    def loss(batch, outputs):
+    def loss(batch, outputs, e=None):
+        e = e_data if e is None else e
         _, logz_mean_post, logz_sig_post = batch
         theta_mean, theta_sig, z_mean, z_sig, log_z_sig = outputs
         mm = moment_match_loss(z_mean, z_sig, logz_mean_post, logz_sig_post)
@@ -156,7 +162,7 @@ def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross"):
             # 0 * inf would poison the pure moment-matching loss
             return mm
         t4 = term4(z_mean, log_z_sig)
-        t5 = term5(theta_mean, theta_sig, z_mean, z_sig, e_data, batch_h, sig_eta, pairing)
+        t5 = term5(theta_mean, theta_sig, z_mean, z_sig, e, batch_h, sig_eta, pairing)
         return (t4 - t5) * alpha + mm
 
     return loss

@@ -258,9 +258,12 @@ class TwoStepTrainer:
                 hist[: min(len(old_hist), num_epochs)] = old_hist[:num_epochs]
 
         @jax.jit
-        def step(params, opt_state, y_batch):
+        def step(params, opt_state, y_batch, e_key):
             def objective(p):
                 outputs = self.theta_net.apply(p, y_batch)
+                if t.resample_e:
+                    e = jax.random.normal(e_key, e_data.shape, e_data.dtype)
+                    return loss_fn(y_batch, outputs, e)
                 return loss_fn(y_batch, outputs)
 
             loss, grads = jax.value_and_grad(objective)(params)
@@ -269,18 +272,19 @@ class TwoStepTrainer:
             return params, opt_state, loss
 
         @jax.jit
-        def epoch_scan(params, opt_state, y_batches):
+        def epoch_scan(params, opt_state, y_batches, e_keys):
             # one device dispatch per EPOCH instead of per step — the B=64
             # train step is dispatch-bound on TPU (measured ~2x wall-clock:
             # 905 vs 472 steps/s for a 156-batch epoch on v5e). Identical
             # update sequence to the per-step loop.
-            def body(carry, yb):
+            def body(carry, batch):
                 p, o = carry
-                p, o, loss = step(p, o, yb)
+                yb, kb = batch
+                p, o, loss = step(p, o, yb, kb)
                 return (p, o), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), y_batches
+                body, (params, opt_state), (y_batches, e_keys)
             )
             return params, opt_state, losses[-1]
 
@@ -288,24 +292,28 @@ class TwoStepTrainer:
         loss_val = 0.0
         for epoch in range(start_epoch, num_epochs):
             tic = time.time()
-            key, k_perm = jax.random.split(key)
+            key, k_perm, k_e = jax.random.split(key, 3)
             perm = jax.random.permutation(k_perm, n)
             y_shuf = y_data[perm]
             n_full, rem = _batches(n, t.batch_size)
+            e_keys = jax.random.split(k_e, n_full + 1)
             if t.scan_epochs and n_full > 1:
                 yb_all = y_shuf[: n_full * t.batch_size].reshape(
                     n_full, t.batch_size, -1
                 )
                 params, opt_state, loss_val = epoch_scan(
-                    params, opt_state, self._maybe_shard_batched(yb_all)
+                    params, opt_state, self._maybe_shard_batched(yb_all),
+                    e_keys[:n_full],
                 )
             else:
                 for b in range(n_full):
                     yb = y_shuf[b * t.batch_size : (b + 1) * t.batch_size]
-                    params, opt_state, loss_val = step(params, opt_state, self._maybe_shard(yb))
+                    params, opt_state, loss_val = step(
+                        params, opt_state, self._maybe_shard(yb), e_keys[b])
             if rem:
                 yb = y_shuf[n_full * t.batch_size :]
-                params, opt_state, loss_val = step(params, opt_state, self._maybe_shard(yb))
+                params, opt_state, loss_val = step(
+                    params, opt_state, self._maybe_shard(yb), e_keys[n_full])
             loss_val = float(loss_val)
             if self.verbose:
                 print(f"[step1] epoch {epoch}: loss {loss_val:.6f} ({time.time()-tic:.2f}s)")
@@ -378,7 +386,7 @@ class TwoStepTrainer:
                 hist[: min(len(old_hist), num_epochs)] = old_hist[:num_epochs]
 
         @jax.jit
-        def step(z_params, opt_state, y_b, lm_b, ls_b):
+        def step(z_params, opt_state, y_b, lm_b, ls_b, e_key):
             # theta-net frozen: apply under stop_gradient semantics by not
             # differentiating w.r.t. theta_params at all
             theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y_b)
@@ -386,6 +394,9 @@ class TwoStepTrainer:
             def objective(zp):
                 z_mean, z_sig, log_z_sig = self.z_net.apply(zp, y_b)
                 outputs = (theta_mean, theta_sig, z_mean, z_sig, log_z_sig)
+                if t.resample_e:
+                    e = jax.random.normal(e_key, e_data.shape, e_data.dtype)
+                    return loss_fn((y_b, lm_b, ls_b), outputs, e)
                 return loss_fn((y_b, lm_b, ls_b), outputs)
 
             loss, grads = jax.value_and_grad(objective)(z_params)
@@ -394,16 +405,16 @@ class TwoStepTrainer:
             return z_params, opt_state, loss
 
         @jax.jit
-        def epoch_scan(z_params, opt_state, yb_all, lm_all, ls_all):
+        def epoch_scan(z_params, opt_state, yb_all, lm_all, ls_all, e_keys):
             # one dispatch per epoch (see train_step1)
             def body(carry, batch):
                 p, o = carry
-                yb, lm_b, ls_b = batch
-                p, o, loss = step(p, o, yb, lm_b, ls_b)
+                yb, lm_b, ls_b, kb = batch
+                p, o, loss = step(p, o, yb, lm_b, ls_b, kb)
                 return (p, o), loss
 
             (z_params, opt_state), losses = jax.lax.scan(
-                body, (z_params, opt_state), (yb_all, lm_all, ls_all)
+                body, (z_params, opt_state), (yb_all, lm_all, ls_all, e_keys)
             )
             return z_params, opt_state, losses[-1]
 
@@ -411,10 +422,11 @@ class TwoStepTrainer:
         loss_val = 0.0
         for epoch in range(start_epoch, num_epochs):
             tic = time.time()
-            key, k_perm = jax.random.split(key)
+            key, k_perm, k_e = jax.random.split(key, 3)
             perm = jax.random.permutation(k_perm, n)
             y_s, lm_s, ls_s = y_data[perm], logz_mean_post[perm], logz_sig_post[perm]
             n_full, rem = _batches(n, t.batch_size)
+            e_keys = jax.random.split(k_e, n_full + 1)
             if t.scan_epochs and n_full > 1:
                 cut = n_full * t.batch_size
                 rs = lambda a: a[:cut].reshape(n_full, t.batch_size, -1)
@@ -423,6 +435,7 @@ class TwoStepTrainer:
                     self._maybe_shard_batched(rs(y_s)),
                     self._maybe_shard_batched(rs(lm_s)),
                     self._maybe_shard_batched(rs(ls_s)),
+                    e_keys[:n_full],
                 )
             else:
                 for b in range(n_full):
@@ -432,6 +445,7 @@ class TwoStepTrainer:
                         self._maybe_shard(y_s[sl]),
                         self._maybe_shard(lm_s[sl]),
                         self._maybe_shard(ls_s[sl]),
+                        e_keys[b],
                     )
             if rem:
                 sl = slice(n_full * t.batch_size, n)
@@ -440,6 +454,7 @@ class TwoStepTrainer:
                     self._maybe_shard(y_s[sl]),
                     self._maybe_shard(lm_s[sl]),
                     self._maybe_shard(ls_s[sl]),
+                    e_keys[n_full],
                 )
             loss_val = float(loss_val)
             if self.verbose:
