@@ -231,3 +231,181 @@ def test_mean_field_preconditioner_parity():
     gj = jax.grad(lambda t: loss(solve_j, t))(theta)
     gp = jax.grad(lambda t: loss(solve_p, t))(theta)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), rtol=1e-6)
+
+
+# ---------------------------------------------------------------- 3-D box
+
+
+@pytest.fixture(scope="module")
+def box_model():
+    from vbicm_tpu.config import SectionCard
+    from vbicm_tpu.mesh.solid3d import beam_hex8_mesh
+
+    return build_fem_model(
+        beam_hex8_mesh(4, 2, 2, lx=4.0), SectionCard(stype=4), dense=True
+    )
+
+
+def test_field_solver_grid_mode_matches_gather_3d(box_model):
+    """grid=(nx, ny, nz) structured hex8 mode == the lm-table mode,
+    values and E-gradients (3-D sibling of the 2-D grid-mode pin)."""
+    model = box_model
+    lam1, mu1 = lame_from_Ev(1.0, NU)
+    ke_unit = lam1 * jnp.asarray(model.ke_lam) + mu1 * jnp.asarray(model.ke_mu)
+    b = jnp.asarray(model.f_ext)
+    kw = dict(tol=1e-12, maxiter=4000)
+    s_lm = make_field_solver(
+        ke_unit, np.asarray(model.lm), model.free_mask, model.ndof, **kw
+    )
+    s_gr = make_field_solver(
+        ke_unit, np.asarray(model.lm), model.free_mask, model.ndof,
+        grid=(4, 2, 2), **kw,
+    )
+    klb = build_kl_expansion(model, n_modes=N_MODES, corr_len=2.0, sigma=0.3)
+    theta = jax.random.normal(jax.random.PRNGKey(11), (N_MODES,))
+    E = field_from_theta(klb, theta, model.dtype)
+    np.testing.assert_allclose(
+        np.asarray(s_gr(E, b)), np.asarray(s_lm(E, b)), atol=1e-12
+    )
+    g_lm = jax.grad(lambda ee: jnp.sum(s_lm(ee, b) ** 2))(E)
+    g_gr = jax.grad(lambda ee: jnp.sum(s_gr(ee, b) ** 2))(E)
+    np.testing.assert_allclose(np.asarray(g_gr), np.asarray(g_lm), rtol=1e-9)
+    with pytest.raises(ValueError):
+        make_field_solver(
+            ke_unit, np.asarray(model.lm), model.free_mask, model.ndof,
+            grid=(2, 2, 4), **kw,
+        )
+
+
+def test_field_fh_3d_smoke_and_grad(box_model):
+    """make_fh_fun_field on a hex8 box (stype=4): finite outputs, finite
+    theta-gradient through the field solve + von Mises probe."""
+    model = box_model
+    klb = build_kl_expansion(model, n_modes=N_MODES, corr_len=2.0, sigma=0.3)
+    cfg = ProblemConfig(
+        theta_dim=N_MODES, y_dim=3 * 4, ele_id=8, nipt_id=(1, 5),
+        sig_e=1e-2, sig_eta=1e-3,
+    )
+    probes = [model.nnodes, model.nnodes - 1, model.nnodes - 4, 20]
+    fh = make_fh_fun_field(
+        model, klb, cfg, probe_nodes=probes, nu=NU, grid=(4, 2, 2)
+    )
+    theta = jax.random.normal(jax.random.PRNGKey(5), (N_MODES,))
+    y, h = fh(theta)
+    assert y.shape == (12,) and h.shape == (2,)
+    assert np.isfinite(np.asarray(y)).all() and np.isfinite(np.asarray(h)).all()
+    g = jax.grad(lambda t: jnp.sum(fh(t)[0] ** 2) + jnp.sum(fh(t)[1]))(theta)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
+
+
+def test_mean_field_preconditioner_box3d_parity():
+    """3-D mean-field two-level preconditioned field solve == Jacobi-CG on
+    a structured box, values and theta-gradients."""
+    from vbicm_tpu.config import SectionCard
+    from vbicm_tpu.mesh.solid3d import beam_hex8_mesh
+    from vbicm_tpu.prob.randomfield import make_mean_field_preconditioner_box3d
+
+    ratio = 2
+    cells = (8, 4, 4)
+    model = build_fem_model(
+        beam_hex8_mesh(*cells, lx=8.0), SectionCard(stype=4), dense=False
+    )
+    coarse = build_fem_model(
+        beam_hex8_mesh(*(c // ratio for c in cells), lx=8.0),
+        SectionCard(stype=4), dense=True,
+    )
+    klb = build_kl_expansion(model, n_modes=N_MODES, corr_len=3.0, sigma=0.3)
+    lam1, mu1 = lame_from_Ev(1.0, NU)
+    ke_unit = lam1 * jnp.asarray(model.ke_lam) + mu1 * jnp.asarray(model.ke_mu)
+    theta = jax.random.normal(jax.random.PRNGKey(3), (N_MODES,))
+    E = field_from_theta(klb, theta, model.dtype)
+    b = jnp.asarray(model.f_ext)
+    solve_j = make_field_solver(
+        ke_unit, np.asarray(model.lm), model.free_mask, model.ndof, tol=1e-12
+    )
+    prec = make_mean_field_preconditioner_box3d(
+        coarse, tuple(c // ratio for c in cells), ratio, model.free_mask,
+        nu=NU, E0=20.0,
+    )
+    solve_p = make_field_solver(
+        ke_unit, np.asarray(model.lm), model.free_mask, model.ndof, tol=1e-12,
+        preconditioner=prec, grid=cells,
+    )
+    uj = solve_j(E, b)
+    up = solve_p(E, b)
+    np.testing.assert_allclose(np.asarray(up), np.asarray(uj), atol=1e-9)
+
+    def loss(s, t):
+        return jnp.sum(s(field_from_theta(klb, t, model.dtype), b) ** 2)
+
+    gj = jax.grad(lambda t: loss(solve_j, t))(theta)
+    gp = jax.grad(lambda t: loss(solve_p, t))(theta)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gj), rtol=1e-6)
+
+
+def test_posterior_field_moments_and_xdmf_cell_fields(tmp_path, small_model, kl):
+    """Closed-form log-field moments under a mean-field q match MC, and the
+    XDMF export round-trips them as per-element cell attributes."""
+    from vbicm_tpu.eval.xdmf import write_xdmf
+    from vbicm_tpu.prob.randomfield import posterior_field_moments
+
+    rng = np.random.default_rng(0)
+    tm = rng.standard_normal(N_MODES)
+    tv = rng.uniform(0.1, 0.5, N_MODES)
+    log_mean, log_std = posterior_field_moments(kl, tm, tv)
+    # MC check of the linear-Gaussian pushforward
+    th = tm + np.sqrt(tv) * rng.standard_normal((200_000, N_MODES))
+    logE = th @ kl.modes + kl.mean_log
+    np.testing.assert_allclose(log_mean, logE.mean(0), atol=5e-3)
+    np.testing.assert_allclose(log_std, logE.std(0), rtol=2e-2)
+
+    path = str(tmp_path / "field.h5")
+    write_xdmf(path, small_model, [np.zeros(small_model.ndof)],
+               cell_fields={"logE_post_mean": log_mean, "logE_post_std": log_std})
+    import h5py
+
+    with h5py.File(path) as f:
+        np.testing.assert_array_equal(f["cell_logE_post_mean"][...], log_mean)
+        np.testing.assert_array_equal(f["cell_logE_post_std"][...], log_std)
+    xml = open(str(tmp_path / "field.xdmf")).read()
+    assert 'Attribute Name="logE_post_std"' in xml and 'Center="Cell"' in xml
+    with pytest.raises(ValueError):
+        write_xdmf(path, small_model, [np.zeros(small_model.ndof)],
+                   cell_fields={"bad": log_mean[:-1]})
+
+
+# ---------------------------------------------------------------- field ROM
+
+
+def test_field_rom_certified_and_matches_full(small_model, kl):
+    """Certified field RB-ROM == the full-order field solve, values and
+    theta-gradients, on fresh prior draws (the affine-in-E reduction needs
+    no EIM — rom/field.py module docstring)."""
+    from vbicm_tpu.rom import build_reduced_basis_field, make_fh_fun_field_rom
+
+    model = small_model
+    rb = build_reduced_basis_field(
+        model, kl, nu=NU, n_candidates=128, n_validate=32, tol=1e-9,
+        max_basis=120, seed=0,
+    )
+    assert rb.max_rel_residual < 1e-9
+    # the held-out certificate is the honest number (48-draw pools overfit:
+    # train 3e-13 but val 7e-3 — the measured envelope in rom/field.py)
+    assert rb.val_max_rel_residual < 1e-10
+    cfg = ProblemConfig(theta_dim=N_MODES, y_dim=2 * len(PROBES), ele_id=5)
+    fh_rom = make_fh_fun_field_rom(model, kl, rb, cfg, probe_nodes=PROBES)
+    fh_full = make_fh_fun_field(model, kl, cfg, probe_nodes=PROBES, nu=NU,
+                                tol=1e-12, maxiter=4000)
+    thetas = jax.random.normal(jax.random.PRNGKey(7), (5, N_MODES))
+    y_r, h_r = jax.vmap(fh_rom)(thetas)
+    y_f, h_f = jax.vmap(fh_full)(thetas)
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_f), rtol=2e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(h_r), np.asarray(h_f), rtol=2e-7)
+
+    def obj(fh, th):
+        y, h = fh(th)
+        return jnp.sum(y**2) + jnp.sum(h)
+
+    g_r = jax.grad(lambda t: obj(fh_rom, t))(thetas[0])
+    g_f = jax.grad(lambda t: obj(fh_full, t))(thetas[0])
+    np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_f), rtol=1e-5)

@@ -20,8 +20,15 @@ _TOPO = {(3, 2): ("Triangle", 3), (4, 2): ("Quadrilateral", 4),
          (8, 3): ("Hexahedron", 8)}
 
 
-def write_xdmf(path_h5: str, model, displacements: Sequence[np.ndarray], *, mag: float = 1.0):
-    """Write topology + deformed coordinates per step; emits `<path>.xdmf`."""
+def write_xdmf(path_h5: str, model, displacements: Sequence[np.ndarray], *, mag: float = 1.0,
+               cell_fields: dict | None = None):
+    """Write topology + deformed coordinates per step; emits `<path>.xdmf`.
+
+    ``cell_fields``: optional ``{name: (nele,) array}`` per-element scalar
+    fields (e.g. an inferred log-modulus field and its posterior std,
+    ``prob.randomfield.posterior_field_moments``) attached to every step as
+    XDMF Cell attributes.
+    """
     import h5py
 
     coords = np.asarray(model.coords)
@@ -30,8 +37,14 @@ def write_xdmf(path_h5: str, model, displacements: Sequence[np.ndarray], *, mag:
     nnodes, nele = coords.shape[0], conn.shape[0]
     topo_type, ncell = _TOPO[(conn.shape[1], ndm)]
     conn_out = conn[:, :ncell]
+    cell_fields = cell_fields or {}
     with h5py.File(path_h5, "w") as f:
         f["topology"] = conn_out.astype(np.int32)
+        for name, vals in cell_fields.items():
+            vals = np.asarray(vals).reshape(-1)
+            if vals.size != nele:
+                raise ValueError(f"cell field {name!r} has size {vals.size}, want {nele}")
+            f[f"cell_{name}"] = vals
         for i, u in enumerate(displacements):
             u = np.asarray(u)
             if getattr(model, "has_constraints", False) and u.size != ndm * nnodes:
@@ -39,6 +52,13 @@ def write_xdmf(path_h5: str, model, displacements: Sequence[np.ndarray], *, mag:
             disp = u.reshape(-1, ndm)
             f[f"step{i}"] = coords + mag * disp
 
+    attrs = "".join(
+        f"""
+      <Attribute Name="{name}" AttributeType="Scalar" Center="Cell">
+        <DataItem Dimensions="{nele}" Format="HDF">{os.path.basename(path_h5)}:/cell_{name}</DataItem>
+      </Attribute>"""
+        for name in cell_fields
+    )
     steps = "\n".join(
         f"""    <Grid Name="step{i}" GridType="Uniform">
       <Time Value="{i}"/>
@@ -47,7 +67,7 @@ def write_xdmf(path_h5: str, model, displacements: Sequence[np.ndarray], *, mag:
       </Topology>
       <Geometry GeometryType="{'XY' if ndm == 2 else 'XYZ'}">
         <DataItem Dimensions="{nnodes} {ndm}" Format="HDF">{os.path.basename(path_h5)}:/step{i}</DataItem>
-      </Geometry>
+      </Geometry>{attrs}
     </Grid>"""
         for i in range(len(displacements))
     )

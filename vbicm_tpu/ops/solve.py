@@ -712,10 +712,12 @@ def make_field_solver(
     field's range ratio, so a fixed-coefficient coarse solve preconditions
     every sample; see ``prob.randomfield.make_mean_field_preconditioner``).
 
-    ``grid=(nx, ny)``: declares the structured quad4 layout of
-    ``mesh/cooks.py`` (node id = row*(nx+1)+col, element e = r*nx+c with
-    conn (n0, n0+1, n0+nx+2, n0+nx+1)). The element gather/scatter in the
-    CG hot loop then becomes reshape + 4 static shifted slices / padded
+    ``grid=(nx, ny)`` or ``(nx, ny, nz)``: declares the structured layout of
+    ``mesh/cooks.py`` (quad4, node id = row*(nx+1)+col, element e = r*nx+c
+    with conn (n0, n0+1, n0+nx+2, n0+nx+1)) or ``mesh/solid3d.py`` (hex8,
+    node id = (k*(ny+1)+j)*(nx+1)+i, element e = (k*ny+j)*nx+i, bottom quad
+    CCW then top). The element gather/scatter in the CG hot loop then
+    becomes reshape + 4 (2-D) / 8 (3-D) static shifted slices / padded
     adds — zero index traffic, the same structured-grid rewrite that took
     the homogeneous path from the element matvec to the stencil form
     (``ops/stencil.py`` module docstring). The lm table is validated
@@ -728,36 +730,58 @@ def make_field_solver(
     ke_cg = ke_unit if cg_dtype is None else ke_unit.astype(cg_dtype)
     mask_cg = free_mask if cg_dtype is None else free_mask.astype(cg_dtype)
     if grid is not None:
-        nx, ny = grid
-        NY, NX = ny + 1, nx + 1
-        nele = nx * ny
-        if lm_np.shape[0] != nele or ndof != NY * NX * 2:
-            raise ValueError("lm/ndof do not match the declared (nx, ny) grid")
-        # local node (row, col) offsets for conn order (n0, n0+1, n0+nx+2, n0+nx+1)
-        lpos = ((0, 0), (0, 1), (1, 1), (1, 0))
-        rr, cc = np.divmod(np.arange(nele), nx)
-        nodes = np.stack([(rr + oy) * NX + (cc + ox) for oy, ox in lpos], axis=1)
-        lm_expect = (2 * nodes[:, :, None] + np.arange(2)[None, None, :]).reshape(
-            nele, 8
+        # cells in memory-major order: (ny, nx) / (nz, ny, nx); nd dofs/node
+        nd = len(grid)
+        cells = tuple(int(c) for c in reversed(grid))
+        Ns = tuple(c + 1 for c in cells)
+        nele = int(np.prod(cells))
+        if lm_np.shape[0] != nele or ndof != int(np.prod(Ns)) * nd:
+            raise ValueError(f"lm/ndof do not match the declared {grid} grid")
+        if nd == 2:
+            # local node (row, col) offsets for conn (n0, n0+1, n0+nx+2, n0+nx+1)
+            lpos = ((0, 0), (0, 1), (1, 1), (1, 0))
+        elif nd == 3:
+            # (dz, dy, dx) per conn slot: bottom quad CCW then top quad CCW
+            lpos = ((0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0),
+                    (1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0))
+        else:
+            raise ValueError("grid must be (nx, ny) or (nx, ny, nz)")
+        # element -> per-axis cell index (memory-major), then expected lm
+        eidx = np.unravel_index(np.arange(nele), cells)  # nd arrays
+        nodes = np.stack(
+            [np.ravel_multi_index(
+                tuple(eidx[a] + off[a] for a in range(nd)), Ns)
+             for off in lpos],
+            axis=1,
+        )
+        lm_expect = (nd * nodes[:, :, None] + np.arange(nd)[None, None, :]).reshape(
+            nele, nd * len(lpos)
         )
         if not np.array_equal(lm_np, lm_expect):
             raise ValueError("lm table does not follow the structured-grid layout")
+        gshape = Ns + (nd,)
+        edof_g = nd * len(lpos)
 
         def _gather(x):
-            g = x.reshape(NY, NX, 2)
+            g = x.reshape(gshape)
             return jnp.concatenate(
                 [
-                    jax.lax.slice(g, (oy, ox, 0), (oy + ny, ox + nx, 2))
-                    for oy, ox in lpos
+                    jax.lax.slice(
+                        g,
+                        off + (0,),
+                        tuple(o + c for o, c in zip(off, cells)) + (nd,),
+                    )
+                    for off in lpos
                 ],
                 axis=-1,
-            ).reshape(nele, 8)
+            ).reshape(nele, edof_g)
 
         def _scatter(qe):
-            q = qe.reshape(ny, nx, 4, 2)
-            out = jnp.zeros((NY, NX, 2), qe.dtype)
-            for li, (oy, ox) in enumerate(lpos):
-                out = out.at[oy : oy + ny, ox : ox + nx, :].add(q[:, :, li, :])
+            q = qe.reshape(cells + (len(lpos), nd))
+            out = jnp.zeros(gshape, qe.dtype)
+            for li, off in enumerate(lpos):
+                sl = tuple(slice(o, o + c) for o, c in zip(off, cells))
+                out = out.at[sl].add(q[..., li, :])
             return out.reshape(-1)
 
     else:

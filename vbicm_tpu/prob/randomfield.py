@@ -120,6 +120,25 @@ def field_from_theta(kl: KLExpansion, theta, dtype=jnp.float64):
     return jnp.exp(kl.mean_log + theta.astype(dtype) @ modes)
 
 
+def posterior_field_moments(kl: KLExpansion, theta_mean, theta_var):
+    """Closed-form per-element moments of the log-modulus field under a
+    mean-field Gaussian posterior q(theta) = N(theta_mean, diag(theta_var)):
+
+        log E(x) = mean_log + sum_k theta_k modes_k(x)
+        mean[log E] = mean_log + modes^T theta_mean
+        std[log E]  = sqrt(modes^2 ^T theta_var)
+
+    Returns ``(log_mean, log_std)`` as (nele,) NumPy arrays — the field the
+    amortized posterior actually infers, ready for
+    ``eval.xdmf.write_xdmf(..., cell_fields=...)`` visualization.
+    """
+    tm = np.asarray(theta_mean).reshape(-1)
+    tv = np.asarray(theta_var).reshape(-1)
+    log_mean = kl.mean_log + tm @ kl.modes
+    log_std = np.sqrt(tv @ (kl.modes**2))
+    return log_mean, log_std
+
+
 def make_mean_field_preconditioner(
     coarse_model: FemModel,
     nx_coarse: int,
@@ -165,6 +184,44 @@ def make_mean_field_preconditioner(
     return prec
 
 
+def make_mean_field_preconditioner_box3d(
+    coarse_model: FemModel,
+    cells_coarse,
+    ratio: int,
+    free_mask,
+    *,
+    nu: float = 0.3,
+    E0: float = 20.0,
+    omega: float = 0.6,
+) -> Callable:
+    """3-D sibling of :func:`make_mean_field_preconditioner` for structured
+    hex8 box meshes (``mesh/solid3d.py`` numbering): spectral coarse solve at
+    the mean field E0 + trilinear tensor-product transfers
+    (``ops.multigrid.make_grid_transfer_nd``). ``cells_coarse`` = coarse
+    (nx, ny, nz) cell counts; the fine grid is ``cells_coarse * ratio``.
+    Pass as ``make_field_solver(..., preconditioner=..., grid=(nx, ny, nz))``.
+    """
+    from ..ops.multigrid import (
+        make_grid_transfer_nd,
+        make_two_level_preconditioner,
+    )
+    from ..solver import make_coarse_spectral_apply
+
+    ncx, ncy, ncz = cells_coarse
+    coarse_apply = make_coarse_spectral_apply(coarse_model)
+    gt = make_grid_transfer_nd((ncz, ncy, ncx), ratio, 3)
+    prec2, _, _ = make_two_level_preconditioner(
+        None, None, coarse_apply, free_mask, omega=omega, grid_transfer=gt
+    )
+    lam0, mu0 = lame_from_Ev(E0, nu)
+    coeffs0 = jnp.stack([jnp.asarray(lam0), jnp.asarray(mu0)])
+
+    def prec(E, diag_inv, r):
+        return prec2(coeffs0.astype(r.dtype), diag_inv, r)
+
+    return prec
+
+
 def make_fh_fun_field(
     model: FemModel,
     kl: KLExpansion,
@@ -191,6 +248,12 @@ def make_fh_fun_field(
     if model.has_constraints or model.has_springs or model.has_prescribed:
         raise NotImplementedError(
             "random-field solver assumes the plain force-controlled operator"
+        )
+    if model.stype not in (2, 4):
+        # lame_from_Ev(1, nu)*E is the true Lame pair only for plane strain
+        # and 3-D solids; plane stress/axisym need their own coefficient maps
+        raise NotImplementedError(
+            "random-field fh supports plane strain (stype=2) and 3-D (stype=4)"
         )
     lam1, mu1 = lame_from_Ev(1.0, nu)
     ke_unit = lam1 * jnp.asarray(model.ke_lam) + mu1 * jnp.asarray(model.ke_mu)
