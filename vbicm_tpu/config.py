@@ -151,3 +151,12 @@ class TrainConfig:
     # estimator of the true ELBO gradient; the fixed-point variance is then
     # the actual posterior variance. Default False = reference parity.
     resample_e: bool = False
+    # Posterior family of q(theta|y): "meanfield" (reference parity —
+    # independent Gaussians per dim) or "fullcov" (Cholesky head
+    # Sigma = L L^T, ``models.mlp.ThetaPosteriorFullCovNet``). On
+    # correlated posteriors the mean-field optimum matches the precision
+    # diagonal, underestimating marginal stds (measured down to 0.01x MCMC
+    # on the random-field family); "fullcov" removes that gap. Requires
+    # pairing="per_sample" (the cross-pairing broadcast is a mean-field
+    # reference quirk).
+    posterior: str = "meanfield"

@@ -109,6 +109,67 @@ def make_loss_step1(batch_f, e_data, sig_e, pairing="cross"):
     return loss
 
 
+# ---------------------------------------------------------------------------
+# Full-covariance posterior (beyond the reference's independent-Gaussians q)
+# ---------------------------------------------------------------------------
+
+
+def reparameterize_fullcov(theta_mean, L, e_data):
+    """theta = mu + L e with a per-observation Cholesky factor:
+    (B, d), (B, d, d), (ne, d) -> (B*ne, d).
+
+    The full-covariance sibling of :func:`reparameterize` — the mean-field
+    q underestimates marginal variances on correlated posteriors (its
+    optimum matches the PRECISION diagonal, 1/Lambda_ii <= Sigma_ii; VI/MC
+    std ratios down to 0.01 measured on the sharp-likelihood random-field
+    posteriors), which a Cholesky parameterization Sigma = L L^T removes.
+    """
+    theta = theta_mean[:, None, :] + jnp.einsum("bij,nj->bni", L, e_data)
+    return theta.reshape(-1, theta.shape[-1])
+
+
+def term1_fullcov(log_diag):
+    """-entropy of q = N(mu, L L^T): log L_ii = 0.5 * log_diag (the net
+    parameterizes the squared diagonal, matching the mean-field head)."""
+    d = log_diag.shape[-1]
+    return (
+        -0.5 * jnp.mean(jnp.sum(log_diag, axis=-1), axis=0)
+        - 0.5 * d * math.log(2.0 * math.pi)
+        - 0.5 * d
+    )
+
+
+def term3_fullcov(theta_mean, L):
+    """Cross-entropy to the N(0, I) prior: E[theta^T theta] =
+    tr(L L^T) + |mu|^2 = sum L^2 + |mu|^2."""
+    d = theta_mean.shape[-1]
+    return -0.5 * d * math.log(2.0 * math.pi) - 0.5 * jnp.mean(
+        jnp.sum(L**2, axis=(-2, -1)) + jnp.sum(theta_mean**2, axis=-1), axis=0
+    )
+
+
+def make_loss_step1_fullcov(batch_f, e_data, sig_e):
+    """Step-1 loss for the full-covariance posterior head
+    (``models.mlp.ThetaPosteriorFullCovNet``): outputs =
+    (theta_mean, L, log_diag). Per-observation pairing only — the
+    cross-pairing broadcast is the reference-parity mode of the MEAN-FIELD
+    head; a correlated q has no reference counterpart to pair against."""
+
+    def loss(y, outputs, e=None):
+        e = e_data if e is None else e
+        theta_mean, L, log_diag = outputs
+        d_y = y.shape[-1]
+        ne = e.shape[0]
+        theta_data = reparameterize_fullcov(theta_mean, L, e)
+        f_data = batch_f(theta_data)
+        f_r = f_data.reshape(y.shape[0], ne, d_y)
+        l2 = -0.5 / sig_e * jnp.sum((y[:, None, :] - f_r) ** 2, axis=-1)
+        t2 = -0.5 * d_y * math.log(2.0 * math.pi * sig_e) + jnp.mean(l2)
+        return term1_fullcov(log_diag) - t2 - term3_fullcov(theta_mean, L)
+
+    return loss
+
+
 def term4(z_mean, log_z_sig):
     """Lognormal-entropy term ("Eq. 23", ``:338-340``)."""
     d = z_mean.shape[-1]
@@ -116,13 +177,19 @@ def term4(z_mean, log_z_sig):
     return jnp.mean(loss) - 0.5 * d * math.log(2.0 * math.pi) - 0.5 * d
 
 
-def term5(theta_mean, theta_sig, z_mean, z_sig, e_data, batch_h, sig_eta, pairing="cross"):
+def term5(theta_mean, theta_sig, z_mean, z_sig, e_data, batch_h, sig_eta, pairing="cross",
+          fullcov=False):
     """E[log p(z|theta)] via lognormal moment identities ("Eq. 25", ``:347-364``).
 
     batch_h: thetas (N, d_theta) -> h (N, d_z) (second output of fh).
+    ``fullcov=True``: ``theta_sig`` carries the (B, d, d) Cholesky factor
+    of the full-covariance posterior instead of per-dim variances.
     """
     d_z = z_mean.shape[-1]
-    theta_data = reparameterize(theta_mean, theta_sig, e_data)
+    if fullcov:
+        theta_data = reparameterize_fullcov(theta_mean, theta_sig, e_data)
+    else:
+        theta_data = reparameterize(theta_mean, theta_sig, e_data)
     h_data = batch_h(theta_data)  # (B*ne, d_z)
     zm = z_mean[:, None, :]
     zs = z_sig[:, None, :]
@@ -145,10 +212,12 @@ def moment_match_loss(z_mean, z_sig, logz_mean_post, logz_sig_post):
     )
 
 
-def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross"):
+def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross", fullcov=False):
     """loss((y, logz_mean_post, logz_sig_post), outputs) for step 2.
 
-    outputs = (theta_mean, theta_sig, z_mean, z_sig, log_z_sig).
+    outputs = (theta_mean, theta_sig, z_mean, z_sig, log_z_sig); with
+    ``fullcov=True`` the ``theta_sig`` slot carries the posterior Cholesky
+    factor (B, d, d) and term5's theta draws use it.
     """
 
     def loss(batch, outputs, e=None):
@@ -162,7 +231,8 @@ def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross"):
             # 0 * inf would poison the pure moment-matching loss
             return mm
         t4 = term4(z_mean, log_z_sig)
-        t5 = term5(theta_mean, theta_sig, z_mean, z_sig, e, batch_h, sig_eta, pairing)
+        t5 = term5(theta_mean, theta_sig, z_mean, z_sig, e, batch_h, sig_eta,
+                   pairing, fullcov=fullcov)
         return (t4 - t5) * alpha + mm
 
     return loss

@@ -42,9 +42,14 @@ from flax import serialization
 
 from ..config import ProblemConfig, TrainConfig
 from ..model import FemModel
-from ..models.mlp import ThetaPosteriorNet, ZPredictiveNet
+from ..models.mlp import (
+    ThetaPosteriorFullCovNet,
+    ThetaPosteriorNet,
+    ZPredictiveNet,
+    marginal_variance,
+)
 from ..solver import make_fh_fun
-from .elbo import make_loss_step1, make_loss_step2
+from .elbo import make_loss_step1, make_loss_step1_fullcov, make_loss_step2
 
 
 @dataclasses.dataclass
@@ -115,7 +120,16 @@ class TwoStepTrainer:
         if y_norm is not None:
             shift = tuple(float(v) for v in np.asarray(y_norm[0]).ravel())
             scale = tuple(float(v) for v in np.asarray(y_norm[1]).ravel())
-        self.theta_net = ThetaPosteriorNet(
+        self.fullcov = tcfg.posterior == "fullcov"
+        if tcfg.posterior not in ("meanfield", "fullcov"):
+            raise ValueError(f"unknown posterior family {tcfg.posterior!r}")
+        if self.fullcov and tcfg.pairing != "per_sample":
+            raise ValueError(
+                'posterior="fullcov" requires pairing="per_sample" (the '
+                "cross-pairing broadcast is a mean-field reference quirk)"
+            )
+        theta_net_cls = ThetaPosteriorFullCovNet if self.fullcov else ThetaPosteriorNet
+        self.theta_net = theta_net_cls(
             tcfg.num_neuron, tcfg.num_layers1, cfg.theta_dim, dtype,
             y_shift=shift, y_scale=scale)
         self.z_net = ZPredictiveNet(
@@ -243,7 +257,10 @@ class TwoStepTrainer:
         n = y_data.shape[0]
 
         batch_f = lambda th: self._batch_fh(th)[0]
-        loss_fn = make_loss_step1(batch_f, e_data, self.cfg.sig_e, t.pairing)
+        if self.fullcov:
+            loss_fn = make_loss_step1_fullcov(batch_f, e_data, self.cfg.sig_e)
+        else:
+            loss_fn = make_loss_step1(batch_f, e_data, self.cfg.sig_e, t.pairing)
 
         key, k_init = jax.random.split(key)
         params = self.theta_net.init(k_init, y_data[:1])
@@ -331,8 +348,14 @@ class TwoStepTrainer:
         e_data = jnp.asarray(e_data, self.dtype)
         n, ne = y_data.shape[0], e_data.shape[0]
         theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y_data)
-        theta_std = jnp.sqrt(theta_sig)
-        theta_sam = e_data[None, :, :] * theta_std[:, None, :] + theta_mean[:, None, :]
+        if self.fullcov:
+            # theta_sig carries the Cholesky factor: theta = mu + L e
+            theta_sam = theta_mean[:, None, :] + jnp.einsum(
+                "bij,nj->bni", theta_sig, e_data
+            )
+        else:
+            theta_std = jnp.sqrt(theta_sig)
+            theta_sam = e_data[None, :, :] * theta_std[:, None, :] + theta_mean[:, None, :]
         theta_sam = theta_sam.reshape(-1, theta_sam.shape[-1])  # (n*ne, d)
 
         batch_fh = jax.jit(self._batch_fh)
@@ -371,7 +394,8 @@ class TwoStepTrainer:
         n = y_data.shape[0]
 
         batch_h = lambda th: self._batch_fh(th)[1]
-        loss_fn = make_loss_step2(batch_h, e_data, self.cfg.sig_eta, t.alpha, t.pairing)
+        loss_fn = make_loss_step2(batch_h, e_data, self.cfg.sig_eta, t.alpha,
+                                  t.pairing, fullcov=self.fullcov)
 
         key, k_init = jax.random.split(key)
         z_params = self.z_net.init(k_init, y_data[:1])
@@ -506,8 +530,21 @@ class TwoStepTrainer:
     # ------------------------------------------------------------------
     def predict(self, theta_params, z_params, y):
         """Full model outputs like the reference's ``final_model_test``
-        (theta_mean, theta_sig, z_mean, z_sig)."""
+        (theta_mean, theta_sig, z_mean, z_sig). With the full-covariance
+        posterior, theta_sig is the MARGINAL variance diag(L L^T) — use
+        :meth:`predict_cholesky` for the full factor."""
         y = jnp.asarray(y, self.dtype)
         theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y)
+        if self.fullcov:
+            theta_sig = marginal_variance(theta_sig)
         z_mean, z_sig, _ = self.z_net.apply(z_params, y)
         return theta_mean, theta_sig, z_mean, z_sig
+
+    def predict_cholesky(self, theta_params, y):
+        """(theta_mean, L) of the full-covariance posterior — e.g. for
+        HMC mass-matrix preconditioning or correlated posterior sampling."""
+        if not self.fullcov:
+            raise ValueError("predict_cholesky requires posterior='fullcov'")
+        y = jnp.asarray(y, self.dtype)
+        theta_mean, L, _ = self.theta_net.apply(theta_params, y)
+        return theta_mean, L
