@@ -297,6 +297,99 @@ def bench_3d():
     )
 
 
+def bench_field():
+    """Random-field (per-element coefficient) solver at 80x40: structured-grid
+    gather/scatter, f32 CG + one f64 refinement, mean-field two-level
+    preconditioner — forward and adjoint throughput over the sample batch
+    (the hot path of the KL field-inversion family, no reference
+    counterpart)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import time, json
+
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.ops.element import lame_from_Ev
+    from vbicm_tpu.ops.solve import make_field_solver
+    from vbicm_tpu.prob.randomfield import (
+        build_kl_expansion,
+        field_from_theta,
+        make_mean_field_preconditioner,
+    )
+    from vbicm_tpu.utils.roofline import compiled_costs, mfu_fields
+
+    jax.config.update("jax_enable_x64", True)
+    nx, ny, ratio, n_modes = 80, 40, 4, 16
+    t0 = time.time()
+    model = build_fem_model(cooks_membrane_mesh(nx, ny), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(nx // ratio, ny // ratio), dense=True)
+    kl = build_kl_expansion(model, n_modes=n_modes, corr_len=12.0, sigma=0.3)
+    build_s = time.time() - t0
+    lam1, mu1 = lame_from_Ev(1.0, 0.3)
+    ke_unit = lam1 * jnp.asarray(model.ke_lam) + mu1 * jnp.asarray(model.ke_mu)
+    prec = make_mean_field_preconditioner(
+        coarse, nx // ratio, ny // ratio, ratio, model.free_mask,
+        nu=0.3, E0=float(np.exp(kl.mean_log)),
+    )
+    solve = make_field_solver(
+        ke_unit, np.asarray(model.lm), model.free_mask, model.ndof,
+        cg_dtype=jnp.float32, refine_iters=1, tol=3e-3,
+        preconditioner=prec, grid=(nx, ny),
+    )
+    b = jnp.asarray(model.f_ext)
+    rng = np.random.default_rng(0)
+
+    for B in (32, 256):
+        thetas = jnp.asarray(rng.normal(size=(B, n_modes)))
+        Es = jax.vmap(lambda t: field_from_theta(kl, t))(thetas)
+        fwd = jax.jit(jax.vmap(lambda E: solve(E, b)))
+        u = fwd(Es)
+        jax.block_until_ready(u)
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            u = fwd(Es)
+        jax.block_until_ready(u)
+        dt = (time.perf_counter() - t0) / iters
+        fl, by = compiled_costs(jax.vmap(lambda E: solve(E, b)), Es)
+        print(json.dumps({
+            "metric": "scaled_field_solves_per_sec",
+            "value": round(B / dt, 1),
+            "unit": "solves/s",
+            "mesh": f"{nx}x{ny}",
+            "kl_modes": n_modes,
+            "batch": B,
+            "model_build_s": round(build_s, 1),
+            **mfu_fields(fl, by, 1.0 / dt),
+        }))
+
+    B = 256
+    thetas = jnp.asarray(rng.normal(size=(B, n_modes)))
+
+    def obj(th):
+        u = solve(field_from_theta(kl, th), b)
+        return jnp.sum(u**2)
+
+    gradv = jax.jit(jax.vmap(jax.grad(obj)))
+    g = gradv(thetas)
+    jax.block_until_ready(g)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = gradv(thetas)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "scaled_field_grad_samples_per_sec",
+        "value": round(B / dt, 1),
+        "unit": "grad-samples/s",
+        "mesh": f"{nx}x{ny}",
+        "kl_modes": n_modes,
+        "batch": B,
+    }))
+
+
 def serving_metric():
     """Amortized-inference serving throughput: y -> (posterior, predictive)
     net evaluation, the deployment-time query path."""
@@ -337,4 +430,5 @@ def serving_metric():
 if __name__ == "__main__":
     main()
     bench_3d()
+    bench_field()
     serving_metric()

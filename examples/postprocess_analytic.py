@@ -37,10 +37,15 @@ def main():
     ap.add_argument("--out", default="results_compare_analytic")
     ap.add_argument("--pdf-sam", type=int, default=4000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the JAX_PLATFORMS env var "
+                         "is overridden by the axon sitecustomize)")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import matplotlib

@@ -64,11 +64,15 @@ def test_posterior_moments_and_kld_helpers():
 def test_case1_eval_flow_end_to_end(tmp_path):
     """examples/postprocess_analytic.py case 1 (scaled down): artifacts
     exist and the proposed predictive tracks the exact conditional."""
+    # --cpu, not just the env var: the axon sitecustomize pins
+    # jax_platforms="axon,cpu", so JAX_PLATFORMS=cpu alone leaves the
+    # subprocess waiting on the TPU tunnel (hangs the suite when the
+    # tunnel is down)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, "examples/postprocess_analytic.py", "--cases", "1",
          "--n-data", "2048", "--epochs", "100", "--out", str(tmp_path),
-         "--pdf-sam", "1000"],
+         "--pdf-sam", "1000", "--cpu"],
         capture_output=True, text=True, timeout=1500, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
