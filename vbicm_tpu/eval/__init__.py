@@ -1,3 +1,4 @@
+from .laplace import LaplaceResult, laplace_posterior
 from .mcmc import MetropolisResult, make_fem_logpost, metropolis, posterior_predictive_z
 from .postprocess import (
     gaussian_kde_pdf,
@@ -8,6 +9,8 @@ from .postprocess import (
 from .xdmf import write_xdmf
 
 __all__ = [
+    "LaplaceResult",
+    "laplace_posterior",
     "MetropolisResult",
     "make_fem_logpost",
     "metropolis",

@@ -1,0 +1,101 @@
+"""MAP + Laplace posterior approximation.
+
+The classical-Bayes baseline for a single observation: maximize the log-
+posterior (L-BFGS through the differentiable FEM solve), then approximate
+the posterior by a Gaussian at the mode with covariance = inverse Hessian.
+Complements the framework's three existing posterior routes — amortized VI
+(`vi.TwoStepTrainer`), random-walk Metropolis, and gradient-guided HMC
+(`eval.mcmc`) — as the non-amortized, per-observation deterministic
+approximation. The reference has no such baseline (its "classical method"
+is a one-step regression network, ``main_postprocess.py``); this is the
+textbook alternative every Bayesian-inverse-problems user expects.
+
+TPU notes: the whole L-BFGS loop runs under one ``lax.while_loop`` jit (no
+host round-trips); the Hessian of the log-posterior is exact autodiff
+through the solver's adjoint custom VJP (forward-over-reverse), d^2
+solves for a d-dimensional theta — fine for KL parameterizations
+(d <= ~64), which is the intended use.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class LaplaceResult:
+    theta_map: np.ndarray  # (d,) posterior mode
+    cov: np.ndarray  # (d, d) inverse Hessian at the mode
+    logpost_map: float
+    grad_norm: float  # |grad logpost| at the returned mode
+    converged: bool
+
+
+def laplace_posterior(
+    logpost: Callable,
+    theta0,
+    *,
+    max_iters: int = 200,
+    tol: float = 1e-8,
+) -> LaplaceResult:
+    """Maximize ``logpost`` from ``theta0`` with jitted L-BFGS, Laplace-
+    expand at the mode.
+
+    ``tol``: gradient sup-norm stopping criterion. The covariance is the
+    inverse of the (symmetrized) negative Hessian; a non-positive-definite
+    Hessian (saddle / flat direction) raises — the Laplace approximation
+    is meaningless there.
+    """
+    theta0 = jnp.asarray(theta0)
+    nll = lambda t: -logpost(t)
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(nll)
+
+    @jax.jit
+    def run(theta):
+        state0 = opt.init(theta)
+
+        def cond(carry):
+            theta, state, g, it = carry
+            return (it < max_iters) & (jnp.max(jnp.abs(g)) > tol)
+
+        def body(carry):
+            theta, state, _, it = carry
+            value, grad = value_and_grad(theta, state=state)
+            updates, state = opt.update(
+                grad, state, theta, value=value, grad=grad, value_fn=nll
+            )
+            theta = optax.apply_updates(theta, updates)
+            return theta, state, grad, it + 1
+
+        g0 = jax.grad(nll)(theta)
+        theta, state, g, it = jax.lax.while_loop(
+            cond, body, (theta, state0, g0, 0)
+        )
+        return theta, jax.grad(nll)(theta), it
+
+    theta_map, g_map, iters = run(theta0)
+    H = jax.jit(jax.hessian(nll))(theta_map)
+    H = 0.5 * np.asarray(H + H.T)
+    try:  # positive-definiteness check
+        np.linalg.cholesky(H)
+    except np.linalg.LinAlgError as e:
+        raise ValueError(
+            "Hessian at the mode is not positive definite — the Laplace "
+            "approximation is meaningless here (saddle or flat direction)"
+        ) from e
+    cov = np.linalg.inv(H)
+    gnorm = float(jnp.max(jnp.abs(g_map)))
+    return LaplaceResult(
+        theta_map=np.asarray(theta_map),
+        cov=cov,
+        logpost_map=float(-nll(theta_map)),
+        grad_norm=gnorm,
+        converged=gnorm <= tol,
+    )
