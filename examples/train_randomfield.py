@@ -212,6 +212,35 @@ def main():
                      "logE_post_std": log_std},
     )
 
+    # MAP + Laplace baseline on the same held-out observations — the
+    # classical deterministic approximation (~300 solves per y vs HMC's
+    # ~77k): reports mode agreement with the VI mean and Laplace-vs-VI
+    # marginal stds
+    if args.mcmc_check > 0:
+        from vbicm_tpu.eval import laplace_posterior
+
+        lrows = []
+        for i in range(args.mcmc_check):
+            from vbicm_tpu.eval.mcmc import make_fem_logpost as _mklp
+
+            lp = _mklp(fh, y_obs[i], cfg.sig_e)
+            lres = laplace_posterior(lp, jnp.asarray(tm[i]), tol=1e-6)
+            l_std = np.sqrt(np.diag(lres.cov))
+            vi_std = np.sqrt(np.asarray(tsig[i]))
+            lrows.append({
+                "grad_norm": float(lres.grad_norm),
+                "map_vs_vi_mean_max": round(float(
+                    np.max(np.abs(lres.theta_map - np.asarray(tm[i])))), 4),
+                "vi_over_laplace_std_range": [round(float(r), 3) for r in
+                                              (np.min(vi_std / l_std),
+                                               np.max(vi_std / l_std))],
+            })
+            print(f"Laplace check y[{i}]: |MAP - VI mean|_max "
+                  f"{lrows[-1]['map_vs_vi_mean_max']}, VI/Laplace std range "
+                  f"{lrows[-1]['vi_over_laplace_std_range']}")
+        summary["laplace_checks"] = lrows
+        _flush()
+
     # gradient-guided MCMC ground truth on a few held-out observations:
     # the amortized posterior must track per-y HMC moments (the reference
     # validates its 2-parameter posterior the same way with random-walk
