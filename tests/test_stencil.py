@@ -532,3 +532,29 @@ def test_two_step_training_through_fh_batch():
     np.testing.assert_allclose(
         np.asarray(res_b.hist_step2), np.asarray(res_v.hist_step2), rtol=1e-4
     )
+
+
+def test_chunked_batch_call_covers_remainder():
+    """Non-multiple batches run the kernel path for EVERY lane: full
+    max_b chunks + one remainder call (review fix — the old rule fell back
+    to the slow path for the whole batch)."""
+    import jax
+    import jax.numpy as jnp
+    from vbicm_tpu.ops.stencil import chunked_batch_call
+
+    calls = []
+
+    def fake_kernel(c, u):
+        calls.append(u.shape[0])
+        return c[:, :1] * u
+
+    c = jnp.arange(22.0).reshape(11, 2)
+    u = jnp.arange(33.0).reshape(11, 3)
+    out = chunked_batch_call(fake_kernel, c, u, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(c[:, :1] * u))
+    # two traced shapes: the max_b chunk (lax.map traces once) + remainder
+    assert 4 in calls and 3 in calls
+    calls.clear()
+    out = chunked_batch_call(fake_kernel, c[:8], u[:8], 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(c[:8, :1] * u[:8]))
+    assert 3 not in calls

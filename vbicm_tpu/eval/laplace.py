@@ -60,25 +60,32 @@ def laplace_posterior(
     @jax.jit
     def run(theta):
         state0 = opt.init(theta)
+        g0 = jax.grad(nll)(theta)
 
+        # carry keeps (evaluated iterate, its gradient) one slot behind the
+        # stepped iterate, so convergence is tested on the gradient OF the
+        # iterate that gets returned — not on a stale gradient of its
+        # predecessor (which would run one extra L-BFGS iteration, several
+        # FEM solves of linesearch, past convergence)
         def cond(carry):
-            theta, state, g, it = carry
-            return (it < max_iters) & (jnp.max(jnp.abs(g)) > tol)
+            theta_eval, theta, state, g_eval, it = carry
+            return (it < max_iters) & (jnp.max(jnp.abs(g_eval)) > tol)
 
         def body(carry):
-            theta, state, _, it = carry
+            _, theta, state, _, it = carry
             value, grad = value_and_grad(theta, state=state)
             updates, state = opt.update(
                 grad, state, theta, value=value, grad=grad, value_fn=nll
             )
-            theta = optax.apply_updates(theta, updates)
-            return theta, state, grad, it + 1
+            return theta, optax.apply_updates(theta, updates), state, grad, it + 1
 
-        g0 = jax.grad(nll)(theta)
-        theta, state, g, it = jax.lax.while_loop(
-            cond, body, (theta, state0, g0, 0)
+        theta_eval, theta, state, g_eval, it = jax.lax.while_loop(
+            cond, body, (theta, theta, state0, g0, 0)
         )
-        return theta, jax.grad(nll)(theta), it
+        conv = jnp.max(jnp.abs(g_eval)) <= tol
+        theta_map = jnp.where(conv, theta_eval, theta)
+        g_map = jnp.where(conv, g_eval, jax.grad(nll)(theta))
+        return theta_map, g_map, it
 
     theta_map, g_map, iters = run(theta0)
     H = jax.jit(jax.hessian(nll))(theta_map)

@@ -173,7 +173,7 @@ def hmc(
     log_s0 = jnp.full((n_chains,), jnp.log(step_size), init.dtype)
 
     def one_step(carry, inp):
-        theta, logp, log_s = carry
+        theta, logp, g_theta, log_s = carry
         k, t = inp
         k1, k2, k3 = jax.random.split(k, 3)
         # jitter the step size (+-33%) so eps*L never locks onto a period
@@ -187,15 +187,24 @@ def hmc(
         eps = jnp.exp(log_s)[:, None] * jit
         p0 = jax.random.normal(k1, theta.shape, theta.dtype)
 
-        # leapfrog: half kick, (L-1) full (drift, kick), drift, half kick
-        def leap(carry, _):
-            q, p = carry
-            p = p + 0.5 * eps * v_grad(q)
-            q = q + eps * p
-            p = p + 0.5 * eps * v_grad(q)
-            return (q, p), None
+        # merged leapfrog: half kick, L x (drift, kick) with the last kick
+        # halved — L gradient evaluations per trajectory (each one a full
+        # FEM forward+adjoint solve), reusing the cached gradient at the
+        # current state for the first half kick instead of the naive
+        # kick-drift-kick form's 2L evaluations
+        p_half = p0 + 0.5 * eps * g_theta
 
-        (q1, p1), _ = jax.lax.scan(leap, (theta, p0), None, length=n_leapfrog)
+        def leap(carry, l):
+            q, p, _ = carry
+            q = q + eps * p
+            gq = v_grad(q)
+            w = jnp.where(l == n_leapfrog - 1, 0.5, 1.0)
+            p = p + w * eps * gq
+            return (q, p, gq), None
+
+        (q1, p1, g1), _ = jax.lax.scan(
+            leap, (theta, p_half, g_theta), jnp.arange(n_leapfrog)
+        )
         logp1 = v_logp(q1)
         h0 = logp - 0.5 * jnp.sum(p0**2, axis=1)
         h1 = logp1 - 0.5 * jnp.sum(p1**2, axis=1)
@@ -206,6 +215,9 @@ def hmc(
         accept = log_u < log_ratio
         theta = jnp.where(accept[:, None], q1, theta)
         logp = jnp.where(accept, logp1, logp)
+        # the trajectory's last gradient IS grad at q1 — cache it so the
+        # next proposal's first half kick costs nothing extra
+        g_theta = jnp.where(accept[:, None], g1, g_theta)
         if adapt:
             alpha = jnp.minimum(1.0, jnp.exp(log_ratio))
             gamma = (t + 1.0) ** (-0.6)
@@ -213,12 +225,12 @@ def hmc(
             log_s = jnp.where(
                 in_burn, log_s + gamma * (alpha - target_accept), log_s
             )
-        return (theta, logp, log_s), (theta, accept)
+        return (theta, logp, g_theta, log_s), (theta, accept)
 
     keys = jax.random.split(key, n_steps)
     ts = jnp.arange(n_steps, dtype=init.dtype)
-    (_, _, log_s), (chain, accepts) = jax.lax.scan(
-        one_step, (init, logp0, log_s0), (keys, ts)
+    (_, _, _, log_s), (chain, accepts) = jax.lax.scan(
+        one_step, (init, logp0, v_grad(init), log_s0), (keys, ts)
     )
     kept = chain[burn::thin]
     samples = np.asarray(jnp.swapaxes(kept, 0, 1))

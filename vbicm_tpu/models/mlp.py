@@ -23,12 +23,17 @@ from flax import linen as nn
 
 
 class MLP(nn.Module):
-    """Dense relu stack with a linear head (Keras-default init)."""
+    """Dense relu stack with a linear head (Keras-default init).
+
+    ``zero_head=True`` zero-initializes the output layer's kernel (the
+    trunk stays glorot) — used by the full-covariance posterior's
+    off-diagonal head so training starts exactly mean-field."""
 
     hidden: int = 20
     n_layers: int = 3
     out_dim: int = 2
     dtype: jnp.dtype = jnp.float64
+    zero_head: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -37,7 +42,8 @@ class MLP(nn.Module):
             x = nn.Dense(self.hidden, kernel_init=k_init, dtype=self.dtype,
                          param_dtype=self.dtype)(x)
             x = nn.relu(x)
-        return nn.Dense(self.out_dim, kernel_init=k_init, dtype=self.dtype,
+        head_init = nn.initializers.zeros if self.zero_head else k_init
+        return nn.Dense(self.out_dim, kernel_init=head_init, dtype=self.dtype,
                         param_dtype=self.dtype)(x)
 
 
@@ -107,15 +113,8 @@ class ThetaPosteriorFullCovNet(nn.Module):
         log_diag = MLP(self.hidden, self.n_layers, d, self.dtype,
                        name="theta_sig_net")(y)
         n_off = d * (d - 1) // 2
-        k_init = nn.initializers.glorot_uniform()
-        x = y
-        for _ in range(self.n_layers):
-            x = nn.Dense(self.hidden, kernel_init=k_init, dtype=self.dtype,
-                         param_dtype=self.dtype)(x)
-            x = nn.relu(x)
-        off = nn.Dense(n_off, kernel_init=nn.initializers.zeros,
-                       dtype=self.dtype, param_dtype=self.dtype,
-                       name="theta_offdiag_head")(x)
+        off = MLP(self.hidden, self.n_layers, n_off, self.dtype,
+                  zero_head=True, name="theta_offdiag_net")(y)
         il, jl = jnp.tril_indices(d, -1)
         L = jnp.zeros((*off.shape[:-1], d, d), self.dtype)
         L = L.at[..., il, jl].set(off)

@@ -98,6 +98,27 @@ def make_stencil_part_matvec(model, nx: int, ny: int, W=None):
     return part_matvec, jnp.asarray(diag)
 
 
+def chunked_batch_call(call, c_b, u_b, max_b: int):
+    """Dispatch a batched kernel call in VMEM-safe chunks: full ``max_b``
+    blocks through ``lax.map`` plus ONE direct call for the remainder, so a
+    non-multiple batch never falls back to the slow path for all lanes.
+    ``call(c, u)`` must accept any batch size <= max_b. Shared by the 2-D
+    and 3-D stencil ``custom_vmap`` rules; unit-tested on CPU with a fake
+    kernel (`test_stencil.py`)."""
+    B = u_b.shape[0]
+    if B <= max_b:
+        return call(c_b, u_b)
+    k = B // max_b
+    cut = k * max_b
+    out = jax.lax.map(
+        lambda cu: call(cu[0], cu[1]),
+        (c_b[:cut].reshape(k, max_b, -1), u_b[:cut].reshape(k, max_b, -1)),
+    ).reshape(cut, -1)
+    if cut < B:
+        out = jnp.concatenate([out, call(c_b[cut:], u_b[cut:])])
+    return out
+
+
 def make_stencil_affine_matvec(model, nx: int, ny: int, *, use_pallas: bool = True):
     """Full affine application ``affine(coeffs, u) -> K(c) @ u`` plus the
     per-part pieces for the solver's refinement/adjoint paths.
@@ -152,19 +173,11 @@ def make_stencil_affine_matvec(model, nx: int, ny: int, *, use_pallas: bool = Tr
         if use_pallas and u_b.dtype == jnp.float32 and u_b.ndim == 2:
             from .stencil_pallas import stencil_affine_matvec_pallas
 
-            B = u_b.shape[0]
-            if B <= PALLAS_MAX_B:
-                out = stencil_affine_matvec_pallas(w_all, c_b, u_b, NY=NY, NX=NX)
-            elif B % PALLAS_MAX_B == 0:
-                k = B // PALLAS_MAX_B
-                out = jax.lax.map(
-                    lambda cu: stencil_affine_matvec_pallas(
-                        w_all, cu[0], cu[1], NY=NY, NX=NX),
-                    (c_b.reshape(k, PALLAS_MAX_B, -1),
-                     u_b.reshape(k, PALLAS_MAX_B, -1)),
-                ).reshape(B, -1)
-            else:
-                out = jax.vmap(_ref)(c_b, u_b)
+            out = chunked_batch_call(
+                lambda c, u: stencil_affine_matvec_pallas(
+                    w_all, c, u, NY=NY, NX=NX),
+                c_b, u_b, PALLAS_MAX_B,
+            )
         else:
             out = jax.vmap(_ref)(c_b, u_b)
         return out, True

@@ -154,21 +154,13 @@ def make_stencil_affine_matvec_3d(model, nx: int, ny: int, nz: int, *,
         if use_pallas and u_b.dtype == jnp.float32 and u_b.ndim == 2:
             from .stencil3d_pallas import stencil_affine_matvec_pallas_3d
 
-            B = u_b.shape[0]
-            if B <= PALLAS_MAX_B:
-                out = stencil_affine_matvec_pallas_3d(
-                    w_all, c_b, u_b, NZ=NZ, NY=NY, NX=NX
-                )
-            elif B % PALLAS_MAX_B == 0:
-                k = B // PALLAS_MAX_B
-                out = jax.lax.map(
-                    lambda cu: stencil_affine_matvec_pallas_3d(
-                        w_all, cu[0], cu[1], NZ=NZ, NY=NY, NX=NX),
-                    (c_b.reshape(k, PALLAS_MAX_B, -1),
-                     u_b.reshape(k, PALLAS_MAX_B, -1)),
-                ).reshape(B, -1)
-            else:
-                out = jax.vmap(_ref)(c_b, u_b)
+            from .stencil import chunked_batch_call
+
+            out = chunked_batch_call(
+                lambda c, u: stencil_affine_matvec_pallas_3d(
+                    w_all, c, u, NZ=NZ, NY=NY, NX=NX),
+                c_b, u_b, PALLAS_MAX_B,
+            )
         else:
             out = jax.vmap(_ref)(c_b, u_b)
         return out, True

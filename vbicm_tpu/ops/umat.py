@@ -86,6 +86,56 @@ def make_umat_potential(model, psi: Callable, f_ext=None, *,
     raise ValueError(f"unknown umat kind {kind!r}")
 
 
+
+def _jacobi_minv(model, precond_moduli):
+    """Inverse Jacobi diagonal of the (lam0, mu0) linear-elastic proxy —
+    the tangent-CG preconditioner shared by make_umat_solver/solve_umat."""
+    from .assembly import make_sorted_scatter
+
+    scatter = make_sorted_scatter(jnp.asarray(model.lm), model.ndof)
+    lam0, mu0 = precond_moduli
+    ke = lam0 * model.ke_lam + mu0 * model.ke_mu
+    d = scatter(jnp.diagonal(ke, axis1=-2, axis2=-1))
+    mask = model.free_mask
+    d = jnp.where(mask > 0, jnp.where(d == 0, 1.0, d), 1.0)
+    return 1.0 / d
+
+
+def _newton_loadsteps(
+    model, psi, mat, minv, *, kind, n_steps, cg_tol, cg_maxiter, tol_cr,
+    max_iter, backtrack,
+) -> NewtonResult:
+    """The shared Newton/load-stepping loop of make_umat_solver and
+    solve_umat: ramped f_ext, autodiff residual, HVP-CG tangent solve."""
+    mask = model.free_mask
+    u = jnp.zeros((model.ndof,), model.dtype)
+    res = None
+    for k in range(1, n_steps + 1):
+        pot_k = make_umat_potential(
+            model, psi, f_ext=(k / n_steps) * model.f_ext * mask, kind=kind
+        )
+        grad_u = jax.grad(pot_k, argnums=0)
+
+        def residual(x):
+            return grad_u(x, mat) * mask
+
+        def tangent_solve(x, r):
+            def hvp(v):
+                vm = v * mask
+                _, hv = jax.jvp(residual, (x,), (vm,))
+                return hv * mask + v * (1.0 - mask)
+
+            du, _, _ = pcg(hvp, -r * mask, minv, tol=cg_tol, maxiter=cg_maxiter)
+            return du * mask
+
+        res = newton_raphson(
+            residual, tangent_solve, u,
+            tol_cr=tol_cr, max_iter=max_iter, backtrack=backtrack,
+        )
+        u = res.u
+    return res
+
+
 def make_umat_solver(
     model,
     psi: Callable,
@@ -110,43 +160,14 @@ def make_umat_solver(
     """
     mask = model.free_mask
     potential = make_umat_potential(model, psi, kind=kind)
-
-    from .assembly import make_sorted_scatter
-
-    scatter = make_sorted_scatter(jnp.asarray(model.lm), model.ndof)
-    lam0, mu0 = precond_moduli
-    ke = lam0 * model.ke_lam + mu0 * model.ke_mu
-    d = scatter(jnp.diagonal(ke, axis1=-2, axis2=-1))
-    d = jnp.where(mask > 0, jnp.where(d == 0, 1.0, d), 1.0)
-    minv = 1.0 / d
+    minv = _jacobi_minv(model, precond_moduli)
 
     def _newton(mat) -> NewtonResult:
-        u = jnp.zeros((model.ndof,), model.dtype)
-        res = None
-        for k in range(1, n_steps + 1):
-            pot_k = make_umat_potential(
-                model, psi, f_ext=(k / n_steps) * model.f_ext * mask, kind=kind
-            )
-            grad_u = jax.grad(pot_k, argnums=0)
-
-            def residual(x):
-                return grad_u(x, mat) * mask
-
-            def tangent_solve(x, r):
-                def hvp(v):
-                    vm = v * mask
-                    _, hv = jax.jvp(residual, (x,), (vm,))
-                    return hv * mask + v * (1.0 - mask)
-
-                du, _, _ = pcg(hvp, -r * mask, minv, tol=cg_tol, maxiter=cg_maxiter)
-                return du * mask
-
-            res = newton_raphson(
-                residual, tangent_solve, u,
-                tol_cr=tol_cr, max_iter=max_iter, backtrack=backtrack,
-            )
-            u = res.u
-        return res
+        return _newton_loadsteps(
+            model, psi, mat, minv, kind=kind, n_steps=n_steps,
+            cg_tol=cg_tol, cg_maxiter=cg_maxiter, tol_cr=tol_cr,
+            max_iter=max_iter, backtrack=backtrack,
+        )
 
     @jax.custom_vjp
     def solve(mat):
@@ -184,46 +205,13 @@ def solve_umat(model, psi, mat, **kw) -> NewtonResult:
     kind = kw.pop("kind", "small_strain")
     precond_moduli = kw.pop("precond_moduli", (11.538461538461538, 7.6923076923076925))
     n_steps = kw.pop("n_steps", 1)
-    mask = model.free_mask
-    from .assembly import make_sorted_scatter
-
-    scatter = make_sorted_scatter(jnp.asarray(model.lm), model.ndof)
-    lam0, mu0 = precond_moduli
-    ke = lam0 * model.ke_lam + mu0 * model.ke_mu
-    d = scatter(jnp.diagonal(ke, axis1=-2, axis2=-1))
-    d = jnp.where(mask > 0, jnp.where(d == 0, 1.0, d), 1.0)
-    minv = 1.0 / d
-
-    u = jnp.zeros((model.ndof,), model.dtype)
-    res = None
-    for k in range(1, n_steps + 1):
-        pot_k = make_umat_potential(
-            model, psi, f_ext=(k / n_steps) * model.f_ext * mask, kind=kind
-        )
-        grad_u = jax.grad(pot_k, argnums=0)
-
-        def residual(x):
-            return grad_u(x, mat) * mask
-
-        def tangent_solve(x, r):
-            def hvp(v):
-                vm = v * mask
-                _, hv = jax.jvp(residual, (x,), (vm,))
-                return hv * mask + v * (1.0 - mask)
-
-            du, _, _ = pcg(hvp, -r * mask, minv,
-                           tol=kw.get("cg_tol", 1e-12),
-                           maxiter=kw.get("cg_maxiter", 4000))
-            return du * mask
-
-        res = newton_raphson(
-            residual, tangent_solve, u,
-            tol_cr=kw.get("tol_cr", 1e-12),
-            max_iter=kw.get("max_iter", 30),
-            backtrack=kw.get("backtrack", 10),
-        )
-        u = res.u
-    return res
+    minv = _jacobi_minv(model, precond_moduli)
+    return _newton_loadsteps(
+        model, psi, mat, minv, kind=kind, n_steps=n_steps,
+        cg_tol=kw.get("cg_tol", 1e-12), cg_maxiter=kw.get("cg_maxiter", 4000),
+        tol_cr=kw.get("tol_cr", 1e-12), max_iter=kw.get("max_iter", 30),
+        backtrack=kw.get("backtrack", 10),
+    )
 
 
 # ---------------------------------------------------------------------------

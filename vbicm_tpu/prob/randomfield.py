@@ -269,12 +269,19 @@ def make_fh_fun_field(
         model.ndm * (probe_nodes[:, None] - 1) + np.arange(model.ndm)[None, :]
     ).reshape(-1)
     obs_dofs = jnp.asarray(obs)
+    # same 1-based probe validation as make_fh_fun — a misconfigured
+    # ele_id=0 would otherwise silently probe the LAST element (negative
+    # indexing) and produce plausible-but-wrong h targets
+    if not (1 <= cfg.ele_id <= model.nele):
+        raise ValueError(f"ele_id {cfg.ele_id} outside [1, {model.nele}]")
+    nq = model.B.shape[1]
+    if any(not (1 <= int(p) <= nq) for p in cfg.nipt_id):
+        raise ValueError(f"nipt_id {cfg.nipt_id} outside [1, {nq}]")
     e = cfg.ele_id - 1
     q = jnp.asarray(cfg.nipt_id, dtype=jnp.int32) - 1
     B_probe = model.B[e, q]
     lm_probe = model.lm[e]
     f_ext = model.f_ext
-    lam_nu, mu_nu = lame_from_Ev(1.0, nu)  # per-unit-E Lame pair
 
     from ..solver import _stress6
 
@@ -284,7 +291,7 @@ def make_fh_fun_field(
         y = u[obs_dofs]
         eps3 = jnp.einsum("qai,i->qa", B_probe, u[lm_probe])
         Ee = E[e]
-        sig6 = _stress6(model, eps3, lam_nu * Ee, mu_nu * Ee)
+        sig6 = _stress6(model, eps3, lam1 * Ee, mu1 * Ee)
         h = von_mises_reference(sig6)
         return y, h
 

@@ -143,7 +143,6 @@ def build_reduced_basis_field(
     max_res = np.inf
     while Q.shape[1] < max_basis:
         u = spla.spsolve(Ks[next_i].tocsc(), f)
-        chosen.append(next_i)
         v = u.copy()
         for _ in range(2):  # twice-is-enough Gram-Schmidt
             if Q.shape[1]:
@@ -158,6 +157,9 @@ def build_reduced_basis_field(
                 "the floor-accuracy basis (check rb.max_rel_residual)"
             )
             break
+        # record the snapshot only once it actually grew the basis, so
+        # theta_snapshots[k] generated Q[:, k] even in the stagnation case
+        chosen.append(next_i)
         q = v / nv
         r = Q.shape[1]
         # incremental reduced-operator update: one sparse matvec w = K_i q
@@ -258,6 +260,11 @@ def make_fh_fun_field_rom(
     obs = (
         model.ndm * (probe_nodes[:, None] - 1) + np.arange(model.ndm)[None, :]
     ).reshape(-1)
+    if not (1 <= cfg.ele_id <= model.nele):
+        raise ValueError(f"ele_id {cfg.ele_id} outside [1, {model.nele}]")
+    nq = model.B.shape[1]
+    if any(not (1 <= int(p) <= nq) for p in cfg.nipt_id):
+        raise ValueError(f"nipt_id {cfg.nipt_id} outside [1, {nq}]")
     e = cfg.ele_id - 1
     q = jnp.asarray(cfg.nipt_id, dtype=jnp.int32) - 1
     B_probe = model.B[e, q]

@@ -555,6 +555,11 @@ def make_two_level_solver(
             grid_transfer = None  # whole coarse correction folds into prec
         else:
             raise ValueError(f"unknown transfer {transfer!r}")
+    elif transfer != "conv":
+        # symmetric with the cycle="vcycle" guard: a non-default transfer
+        # on the element (non-stencil) path would otherwise be silently
+        # ignored and the caller would benchmark the wrong configuration
+        raise ValueError(f"transfer={transfer!r} needs use_stencil=True")
     residual_fn = None
     if refine_residual == "compensated":
         if not use_stencil:

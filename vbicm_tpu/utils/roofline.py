@@ -51,8 +51,11 @@ def compiled_costs(fn, *args, **kwargs):
             ca = ca[0] if ca else {}
         flops = ca.get("flops")
         nbytes = ca.get("bytes accessed", ca.get("bytes_accessed"))
-        return (float(flops) if flops else None,
-                float(nbytes) if nbytes else None)
+        # `is not None`, not truthiness: 0.0 flops is a legitimate result
+        # for pure data-movement executables and must not drop the (valid)
+        # bytes measurement
+        return (float(flops) if flops is not None else None,
+                float(nbytes) if nbytes is not None else None)
     except Exception:
         return None, None
 
