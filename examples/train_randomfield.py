@@ -204,7 +204,14 @@ def main():
     from vbicm_tpu.eval.xdmf import write_xdmf
     from vbicm_tpu.prob.randomfield import posterior_field_moments
 
-    log_mean, log_std = posterior_field_moments(kl, tm[0], tsig[0])
+    if args.posterior == "fullcov":
+        # project the FULL covariance into the field: off-diagonal theta
+        # correlations change the per-element std (|L^T m_e|, not the
+        # marginal-variance quadrature)
+        _, L0 = trainer.predict_cholesky(res.theta_params, y_obs[:1])
+        log_mean, log_std = posterior_field_moments(kl, tm[0], L=np.asarray(L0[0]))
+    else:
+        log_mean, log_std = posterior_field_moments(kl, tm[0], tsig[0])
     log_true = kl.mean_log + np.asarray(t_true[0]) @ kl.modes
     write_xdmf(
         os.path.join(args.results, "field.h5"), model, [np.zeros(model.ndof)],

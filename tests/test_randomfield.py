@@ -409,3 +409,24 @@ def test_field_rom_certified_and_matches_full(small_model, kl):
     g_r = jax.grad(lambda t: obj(fh_rom, t))(thetas[0])
     g_f = jax.grad(lambda t: obj(fh_full, t))(thetas[0])
     np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_f), rtol=1e-5)
+
+
+def test_posterior_field_moments_fullcov(kl):
+    """Full-covariance field projection |L^T m_e| == MC, and differs from
+    the marginal-variance (mean-field) formula when theta is correlated."""
+    from vbicm_tpu.prob.randomfield import posterior_field_moments
+
+    rng = np.random.default_rng(1)
+    tm = rng.standard_normal(N_MODES)
+    A = rng.standard_normal((N_MODES, N_MODES)) * 0.3
+    L = np.linalg.cholesky(A @ A.T + 0.05 * np.eye(N_MODES))
+    _, std_fc = posterior_field_moments(kl, tm, L=L)
+    th = tm + rng.standard_normal((200_000, N_MODES)) @ L.T
+    logE = th @ kl.modes + kl.mean_log
+    np.testing.assert_allclose(std_fc, logE.std(0), rtol=2e-2)
+    _, std_mf = posterior_field_moments(kl, tm, np.diag(L @ L.T))
+    assert np.max(np.abs(std_mf - std_fc) / std_fc) > 0.05  # correlations matter
+    with pytest.raises(ValueError):
+        posterior_field_moments(kl, tm)
+    with pytest.raises(ValueError):
+        posterior_field_moments(kl, tm, np.ones(N_MODES), L=L)

@@ -120,22 +120,32 @@ def field_from_theta(kl: KLExpansion, theta, dtype=jnp.float64):
     return jnp.exp(kl.mean_log + theta.astype(dtype) @ modes)
 
 
-def posterior_field_moments(kl: KLExpansion, theta_mean, theta_var):
+def posterior_field_moments(kl: KLExpansion, theta_mean, theta_var=None, *, L=None):
     """Closed-form per-element moments of the log-modulus field under a
-    mean-field Gaussian posterior q(theta) = N(theta_mean, diag(theta_var)):
+    Gaussian posterior on the KL coefficients:
 
         log E(x) = mean_log + sum_k theta_k modes_k(x)
         mean[log E] = mean_log + modes^T theta_mean
-        std[log E]  = sqrt(modes^2 ^T theta_var)
+        var[log E](x_e) = m_e^T Sigma m_e,   m_e = modes[:, e]
+
+    Pass EITHER ``theta_var`` (mean-field: Sigma = diag(theta_var), the
+    variance reduces to modes^2 ^T theta_var) or ``L`` (full-covariance
+    Cholesky factor, Sigma = L L^T: std_e = |L^T m_e| — the off-diagonal
+    theta correlations project into the field and must not be dropped).
 
     Returns ``(log_mean, log_std)`` as (nele,) NumPy arrays — the field the
     amortized posterior actually infers, ready for
     ``eval.xdmf.write_xdmf(..., cell_fields=...)`` visualization.
     """
+    if (theta_var is None) == (L is None):
+        raise ValueError("pass exactly one of theta_var (mean-field) or L (fullcov)")
     tm = np.asarray(theta_mean).reshape(-1)
-    tv = np.asarray(theta_var).reshape(-1)
     log_mean = kl.mean_log + tm @ kl.modes
-    log_std = np.sqrt(tv @ (kl.modes**2))
+    if L is not None:
+        log_std = np.linalg.norm(np.asarray(L).T @ kl.modes, axis=0)
+    else:
+        tv = np.asarray(theta_var).reshape(-1)
+        log_std = np.sqrt(tv @ (kl.modes**2))
     return log_mean, log_std
 
 
