@@ -251,6 +251,14 @@ def main():
             mc_mean, mc_std = flat.mean(0), flat.std(0)
             vi_mean = np.asarray(tm[i])
             vi_std = np.sqrt(np.asarray(tsig[i]))
+            # semi-amortized refinement from the amortized init (vi/refine)
+            from vbicm_tpu.vi.refine import refine_posterior
+
+            mu_r, L_r, _ = refine_posterior(
+                lambda th: jax.vmap(fh)(th)[0], y_obs[i], cfg.sig_e,
+                mu_i, C_i, key=jax.random.PRNGKey(500 + i), steps=1500, ne=8,
+            )
+            r_std = np.sqrt(np.asarray(jnp.sum(L_r**2, -1)))
             rows.append({
                 "accept": round(float(res_h.accept_rate), 3),
                 "min_ess": round(float(res_h.ess.min()), 1),
@@ -260,6 +268,11 @@ def main():
                 "std_ratio_range": [round(float(r), 3) for r in
                                     (np.min(vi_std / mc_std),
                                      np.max(vi_std / mc_std))],
+                "refined_mean_rmse_vs_mcse": round(float(np.sqrt(np.mean(
+                    (np.asarray(mu_r) - mc_mean) ** 2 / (mc_std**2 + 1e-12)))), 3),
+                "refined_std_ratio_range": [round(float(r), 3) for r in
+                                            (np.min(r_std / mc_std),
+                                             np.max(r_std / mc_std))],
             })
             print(f"HMC check y[{i}]: accept {rows[-1]['accept']}, "
                   f"min ESS {rows[-1]['min_ess']}, "

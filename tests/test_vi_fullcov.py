@@ -154,3 +154,57 @@ def test_fullcov_trainer_end_to_end():
         TwoStepTrainer(None, cfg, TrainConfig(posterior="fullcov"), fh=fh)
     with pytest.raises(ValueError, match="posterior family"):
         TwoStepTrainer(None, cfg, TrainConfig(posterior="wat"), fh=fh)
+
+
+@pytest.mark.slow
+def test_semiamortized_field_calibration_end_to_end():
+    """The calibration pin: AMORTIZED posteriors miscalibrate on held-out
+    observations at small n_data (the amortization gap — measured z-med ~9
+    after convergence, with either head family), and per-observation
+    REFINEMENT from the amortized init (`vi.refine`) restores calibration:
+    refined z-scores over held-out draws behave like N(0, 1)."""
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.prob.datagen import generate_data_fem
+    from vbicm_tpu.prob.randomfield import build_kl_expansion, make_fh_fun_field
+
+    model = build_fem_model(cooks_membrane_mesh(8, 4), dense=True)
+    kl = build_kl_expansion(model, n_modes=4, corr_len=12.0, sigma=0.3)
+    rows = np.arange(1, 5)
+    cols = np.arange(2, 9, 2)
+    probes = (rows[:, None] * 9 + cols[None, :] + 1).reshape(-1)
+    cfg = ProblemConfig(theta_dim=4, y_dim=2 * len(probes), ele_id=5,
+                        sig_e=1e-3, sig_eta=1e-4)
+    fh = make_fh_fun_field(model, kl, cfg, probe_nodes=probes, tol=1e-11)
+    ds = generate_data_fem(jax.random.PRNGKey(0), jax.jit(jax.vmap(fh)),
+                           n_sam=192, ne_sam=4, d_y=cfg.y_dim, d_theta=4,
+                           sig_e=cfg.sig_e, sig_eta=cfg.sig_eta)
+    tcfg = TrainConfig(batch_size=64, num_epoch1=25, num_epoch2=2,
+                       pairing="per_sample", posterior="fullcov",
+                       resample_e=True, clip_grad_norm=1e5, num_neuron=48,
+                       lr_decay_mode="fixed")
+    tr = TwoStepTrainer(None, cfg, tcfg, fh=fh,
+                        y_norm=(ds.y_mean, ds.y_std))
+    res = tr.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(1))
+
+    from vbicm_tpu.vi.refine import refine_posterior
+
+    n_check = 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    t_true = jax.random.normal(k1, (n_check, 4))
+    y_clean, _ = jax.jit(jax.vmap(fh))(t_true)
+    y_obs = y_clean + np.sqrt(cfg.sig_e) * jax.random.normal(k2, y_clean.shape)
+    mu_a, L_a = tr.predict_cholesky(res.theta_params, y_obs)
+    batch_f = lambda th: jax.vmap(fh)(th)[0]
+    zs = []
+    for i in range(n_check):
+        mu, L, _ = refine_posterior(
+            batch_f, y_obs[i], cfg.sig_e, mu_a[i], L_a[i],
+            key=jax.random.PRNGKey(10 + i), steps=1500, ne=8, lr=1e-2,
+        )
+        sig = np.sqrt(np.asarray(jnp.sum(L**2, -1)))
+        zs.append((np.asarray(mu) - np.asarray(t_true[i])) / sig)
+    z = np.concatenate(zs)  # 40 values ~ N(0, 1) if calibrated
+    z_rms = float(np.sqrt((z**2).mean()))
+    assert 0.45 < z_rms < 1.9, (z_rms, np.abs(z).max())
+    assert np.abs(z).max() < 5.0

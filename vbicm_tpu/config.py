@@ -156,7 +156,9 @@ class TrainConfig:
     # Sigma = L L^T, ``models.mlp.ThetaPosteriorFullCovNet``). On
     # correlated posteriors the mean-field optimum matches the precision
     # diagonal, underestimating marginal stds (measured down to 0.01x MCMC
-    # on the random-field family); "fullcov" removes that gap. Requires
+    # on the random-field family); "fullcov" removes that representation
+    # error (held-out calibration at small n_data is separately limited by
+    # the amortization gap — see vi.refine). Requires
     # pairing="per_sample" (the cross-pairing broadcast is a mean-field
     # reference quirk).
     posterior: str = "meanfield"

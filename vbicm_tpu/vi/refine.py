@@ -1,0 +1,111 @@
+"""Semi-amortized VI: per-observation refinement of the amortized posterior.
+
+The amortized nets are trained across the whole dataset, so on HELD-OUT
+observations their heads extrapolate: the mean head carries an irreducible
+amortization bias, and as the likelihood sharpens the variance head keeps
+contracting without covering that bias — measured on the sparse-probe
+random-field config, held-out median |z| grows from 0.7 to ~9 over training
+while the training loss improves monotonically (the classic amortization
+gap; Cremer et al. 2018, Kim et al. 2018 "semi-amortized VAE").
+
+The fix is to treat the amortized output as an INITIALIZATION and run a few
+hundred SVI steps on the single observation's own ELBO — a non-amortized
+full-covariance fit, which the linear-Gaussian pin
+(`test_fullcov_recovers_correlated_gaussian_exactly`) shows converges to
+the true posterior. Cost: ``steps * ne`` FEM solves per observation
+(~2.4k at defaults — vs ~77k for an HMC reference), fully jitted as one
+``lax.scan``.
+
+No counterpart in the reference (its q is amortized-only and its posterior
+is 2-dimensional and uncorrelated — the gap never shows at that scale).
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .elbo import make_loss_step1_fullcov
+
+
+def refine_posterior(
+    batch_f: Callable,
+    y,
+    sig_e: float,
+    mu0,
+    L0,
+    *,
+    key,
+    steps: int = 300,
+    ne: int = 8,
+    lr: float = 5e-3,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Refine one observation's full-covariance posterior by direct SVI.
+
+    ``batch_f``: thetas (N, d) -> f (N, d_y) (the observation operator's
+    first output, as in ``make_loss_step1``). ``mu0`` (d,) / ``L0`` (d, d)
+    initialize the variational parameters — pass the amortized head's
+    output (``TwoStepTrainer.predict_cholesky``), or a mean-field init
+    ``L0 = diag(std)``. Fresh reparameterization noise every step
+    (the ``resample_e`` scheme — the fixed-CRN objective would refit the
+    particular draws).
+
+    Returns ``(mu, L, loss_history)``.
+    """
+    y = jnp.asarray(y)
+    mu0 = jnp.asarray(mu0)
+    L0 = jnp.asarray(L0)
+    d = mu0.shape[-1]
+    il, jl = np.tril_indices(d, -1)
+
+    loss_fn = make_loss_step1_fullcov(batch_f, jnp.zeros((ne, d), mu0.dtype), sig_e)
+
+    def build_L(log_diag, off):
+        L = jnp.zeros((d, d), mu0.dtype)
+        L = L.at[il, jl].set(off)
+        return L.at[jnp.arange(d), jnp.arange(d)].set(jnp.exp(0.5 * log_diag))
+
+    params0 = (
+        mu0,
+        2.0 * jnp.log(jnp.diagonal(L0)),
+        L0[il, jl],
+    )
+    # hold the step size for 60% of the run (travel to the mode), then
+    # cosine-anneal ~50x: the SGD stationary spread around the optimum
+    # scales with sqrt(lr) and would otherwise floor the mean accuracy at
+    # ~1 posterior-std in the SHARPEST directions (ne-draw gradient noise)
+    hold = int(0.6 * steps)
+    sched = optax.join_schedules(
+        [optax.constant_schedule(lr),
+         optax.cosine_decay_schedule(lr, max(steps - hold, 1), alpha=0.02)],
+        [hold],
+    )
+    opt = optax.adam(sched)
+
+    @jax.jit
+    def run(params, key):
+        opt_state = opt.init(params)
+
+        def body(carry, k):
+            p, o = carry
+
+            def obj(p):
+                mu, log_diag, off = p
+                L = build_L(log_diag, off)
+                e = jax.random.normal(k, (ne, d), mu.dtype)
+                return loss_fn(y[None, :], (mu[None], L[None], log_diag[None]), e)
+
+            loss, g = jax.value_and_grad(obj)(p)
+            up, o = opt.update(g, o, p)
+            return (optax.apply_updates(p, up), o), loss
+
+        (params, _), losses = jax.lax.scan(
+            body, (params, opt_state), jax.random.split(key, steps)
+        )
+        return params, losses
+
+    (mu, log_diag, off), losses = run(params0, key)
+    return mu, build_L(log_diag, off), losses
