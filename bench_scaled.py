@@ -427,8 +427,62 @@ def serving_metric():
 
 
 
+def bench_plasticity():
+    """Path-dependent throughput: J2 elastoplastic load HISTORIES per second
+    (Cook's 20x10, 5 increments each, vmapped material batch B=64), forward
+    and through the per-step discrete adjoints (grad)."""
+    import time, json
+
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.ops.plasticity import J2Material, make_plasticity_solver
+    from vbicm_tpu.solver import material_coeffs
+
+    jax.config.update("jax_enable_x64", True)
+    model = build_fem_model(cooks_membrane_mesh(20, 10), dense=True)
+    lam, mu = material_coeffs(2, 20.0, 0.3)
+    n_steps, B = 5, 64
+    solve = make_plasticity_solver(model, n_steps=n_steps, cg_tol=1e-10)
+
+    def final_u(sig_y):
+        u, _ = solve(J2Material(lam=jnp.asarray(lam), mu=jnp.asarray(mu),
+                                sig_y=sig_y, H_iso=jnp.asarray(2.0)))
+        return u
+
+    sig_ys = jnp.asarray(np.random.default_rng(0).uniform(0.12, 0.3, B))
+    fwd = jax.jit(jax.vmap(final_u))
+    jax.block_until_ready(fwd(sig_ys))
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fwd(sig_ys)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "plasticity_histories_per_sec_fwd",
+        "value": round(B / dt, 1),
+        "unit": "histories/s",
+        "batch": B, "n_steps": n_steps,
+    }))
+
+    grad_fn = jax.jit(jax.vmap(jax.grad(lambda s: jnp.sum(final_u(s) ** 2))))
+    jax.block_until_ready(grad_fn(sig_ys))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        g = grad_fn(sig_ys)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "plasticity_histories_per_sec_grad",
+        "value": round(B / dt, 1),
+        "unit": "histories/s",
+        "batch": B, "n_steps": n_steps,
+    }))
+
+
 if __name__ == "__main__":
     main()
     bench_3d()
     bench_field()
     serving_metric()
+    bench_plasticity()

@@ -1,0 +1,106 @@
+"""Two-step VI training through J2 FLOW plasticity — amortized inversion
+of yield parameters from a path-dependent elastoplastic response.
+
+New capability class vs the reference (which only ALLOCATES the inelastic
+storage, ``src/fem_preprocess.py:486-501``, behind the empty
+``mat_type == 99`` driver stub): every likelihood evaluation runs the full
+incremental load history (a ``lax.scan`` of Newton solves with radial-return
+constitutive updates), and every gradient composes per-step discrete
+adjoints backward through that history.  The observation y is the probe
+displacement at full load; the latent parameters are (sig_y, H_iso) of the
+hardening curve — quantities a purely elastic inversion cannot see.
+"""
+# Allow running directly from a repo checkout without installation.
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+del _os, _sys
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-data", type=int, default=1000)
+    ap.add_argument("--ne-sam", type=int, default=4)
+    ap.add_argument("--epochs1", type=int, default=20)
+    ap.add_argument("--epochs2", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--nx", type=int, default=8)
+    ap.add_argument("--ny", type=int, default=4)
+    ap.add_argument("--n-steps", type=int, default=5, help="load increments")
+    ap.add_argument("--sig-y0", type=float, default=0.2, help="median yield stress")
+    ap.add_argument("--H0", type=float, default=2.0, help="median hardening modulus")
+    ap.add_argument("--results", type=str, default="results_vi_plasticity")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import vbicm_tpu
+
+    vbicm_tpu.enable_x64()
+    vbicm_tpu.enable_compilation_cache()
+    import jax
+
+    from vbicm_tpu.config import ProblemConfig, TrainConfig
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.prob.datagen import generate_data_fem
+    from vbicm_tpu.solver import make_fh_fun_plasticity
+    from vbicm_tpu.vi.train import TwoStepTrainer
+
+    print(f"backend: {jax.default_backend()}")
+    model = build_fem_model(cooks_membrane_mesh(args.nx, args.ny), dense=True)
+    # probe ids scaled to the coarser default mesh (node/element counts differ
+    # from the 20x10 reference card)
+    cfg = ProblemConfig(node_id=model.nnodes, ele_id=model.nele // 2)
+    fh = make_fh_fun_plasticity(
+        model, cfg, sig_y0=args.sig_y0, H0=args.H0, n_steps=args.n_steps
+    )
+
+    t0 = time.time()
+    ds = generate_data_fem(
+        jax.random.PRNGKey(args.seed), jax.jit(jax.vmap(fh)),
+        n_sam=args.n_data, ne_sam=args.ne_sam,
+        sig_e=cfg.sig_e, sig_eta=cfg.sig_eta, chunk=512,
+    )
+    datagen_s = time.time() - t0
+    print(f"generated {args.n_data} elastoplastic data points in {datagen_s:.1f}s")
+
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, num_epoch1=args.epochs1, num_epoch2=args.epochs2
+    )
+    trainer = TwoStepTrainer(
+        None, cfg, tcfg, fh=fh, results_path=args.results, verbose=True,
+        bridge_chunk=512,
+    )
+    t0 = time.time()
+    res = trainer.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(args.seed + 1))
+    train_s = time.time() - t0
+    n_steps = (args.epochs1 + args.epochs2) * (args.n_data // args.batch_size)
+    print(
+        f"total training time: {train_s:.1f}s ({n_steps / train_s:.2f} steps/s, "
+        f"{args.batch_size * args.ne_sam} x {args.n_steps}-increment "
+        "elastoplastic histories per step-1 step)"
+    )
+    print(f"final step1 loss: {res.hist_step1[-1]:.6f}")
+    print(f"final step2 loss: {res.hist_step2[-1]:.3e}")
+
+    import os
+
+    os.makedirs(args.results, exist_ok=True)
+    with open(f"{args.results}/summary.json", "w") as f:
+        json.dump(
+            {
+                "config": vars(args),
+                "datagen_s": round(datagen_s, 1),
+                "train_s": round(train_s, 1),
+                "train_steps_per_sec": round(n_steps / train_s, 3),
+                "step1_last": float(res.hist_step1[-1]),
+                "step2_last": float(res.hist_step2[-1]),
+            },
+            f, indent=1,
+        )
+
+
+if __name__ == "__main__":
+    main()

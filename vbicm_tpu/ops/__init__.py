@@ -1,3 +1,3 @@
-from . import quadrature, shape, element, vonmises, assembly, solve, umat
+from . import quadrature, shape, element, vonmises, assembly, solve, umat, plasticity, viscoelastic
 
-__all__ = ["quadrature", "shape", "element", "vonmises", "assembly", "solve", "umat"]
+__all__ = ["quadrature", "shape", "element", "vonmises", "assembly", "solve", "umat", "plasticity", "viscoelastic"]

@@ -414,6 +414,80 @@ def make_fh_fun_nonlinear(
     return fh
 
 
+def make_fh_fun_plasticity(
+    model: FemModel,
+    cfg: ProblemConfig = ProblemConfig(),
+    *,
+    E: float = 20.0,
+    v: float = 0.3,
+    sig_y0: float = 0.2,
+    H0: float = 2.0,
+    theta_std=(0.1, 0.1),
+    n_steps: int = 5,
+    load_factor: float = 1.0,
+    **step_kw,
+) -> Callable:
+    """Observation operator ``fh(theta) -> (y, h)`` through the J2 FLOW
+    plasticity forward model (``ops.plasticity``) — amortized inversion of
+    YIELD parameters from a path-dependent elastoplastic response, a
+    capability class the reference only allocates storage for
+    (``src/fem_preprocess.py:486-501``, empty ``mat_type == 99`` driver).
+
+    theta: (2,) standard-normal; lognormal map onto the J2 hardening curve
+    (elastic moduli held at the reference material card):
+
+        sig_y = sig_y0 * exp(theta_std[0] * t0)
+        H_iso = H0    * exp(theta_std[1] * t1)
+
+    y = probe displacements at full load AFTER the incremental history
+    (n_steps increments, scan of custom-VJP Newton solves); h = reference
+    von Mises of the ACTUAL elastoplastic probe stress.  Gradients flow
+    through the whole load history (per-step discrete adjoints).  Batch
+    with ``jax.vmap(fh)``; pass straight into ``TwoStepTrainer(fh=...)``.
+    """
+    from .ops.plasticity import (
+        J2Material,
+        make_plasticity_solver,
+        stress_from_converged,
+    )
+
+    if model.stype != 2:
+        raise NotImplementedError("plasticity fh: plane-strain models only")
+    solve = make_plasticity_solver(
+        model, n_steps=n_steps, load_factor=load_factor, **step_kw
+    )
+    lam0, mu0 = material_coeffs(model.stype, E, v)
+    ts = jnp.asarray(theta_std, model.dtype)
+    if not (1 <= cfg.node_id <= model.nnodes):
+        raise ValueError(f"probe node_id {cfg.node_id} outside [1, {model.nnodes}]")
+    if not (1 <= cfg.ele_id <= model.nele):
+        raise ValueError(f"probe ele_id {cfg.ele_id} outside [1, {model.nele}]")
+    obs_full = model.ndm * (cfg.node_id - 1) + np.arange(model.ndm)
+    obs_dofs = jnp.asarray(np.asarray(model.dof_map)[obs_full])
+    e = cfg.ele_id - 1
+    q = jnp.asarray(cfg.nipt_id, dtype=jnp.int32) - 1
+    B_probe = model.B[e, q]
+    lm_probe = model.lm[e]
+
+    def fh(theta):
+        theta = jnp.asarray(theta, model.dtype)
+        mat = J2Material(
+            lam=jnp.asarray(lam0, model.dtype),
+            mu=jnp.asarray(mu0, model.dtype),
+            sig_y=sig_y0 * jnp.exp(ts[0] * theta[0]),
+            H_iso=H0 * jnp.exp(ts[1] * theta[1]),
+        )
+        u, state = solve(mat)
+        y = u[obs_dofs]
+        eps3 = jnp.einsum("qai,i->qa", B_probe, u[lm_probe])
+        sig6 = stress_from_converged(eps3, jax.tree_util.tree_map(
+            lambda a: a[e, q], state), mat)
+        h = von_mises_reference(sig6)
+        return y, h
+
+    return fh
+
+
 def make_coarse_spectral_apply(
     coarse_model: FemModel, *, f32_precision=jax.lax.Precision.HIGHEST
 ) -> Callable:
