@@ -161,4 +161,15 @@ class TrainConfig:
     # the amortization gap — see vi.refine). Requires
     # pairing="per_sample" (the cross-pairing broadcast is a mean-field
     # reference quirk).
+    # "flow" (conditional affine-coupling flow on top of the mean-field
+    # base, ``models.flow.ThetaPosteriorFlowNet``) additionally removes the
+    # GAUSSIAN restriction — curved/skewed posteriors (nonlinear forward
+    # maps with weakly identified parameters) are representable; the flow
+    # starts exactly mean-field (zero-init couplings) and its exact
+    # log-density keeps the ELBO a plain reparameterized MC average.
     posterior: str = "meanfield"
+    # Number of affine coupling layers of the "flow" posterior (ignored by
+    # the Gaussian families) and the tanh bound on each layer's log-scale
+    # output (overflow guard inside jit).
+    flow_couplings: int = 4
+    flow_s_cap: float = 3.0

@@ -170,6 +170,40 @@ def make_loss_step1_fullcov(batch_f, e_data, sig_e):
     return loss
 
 
+# ---------------------------------------------------------------------------
+# Normalizing-flow posterior (models.flow.ThetaPosteriorFlowNet)
+# ---------------------------------------------------------------------------
+
+
+def make_loss_step1_flow(batch_f, sig_e):
+    """Step-1 loss for the flow posterior: outputs = (theta, logq) from
+    ``ThetaPosteriorFlowNet.__call__`` — theta (B, ne, d), logq (B, ne)
+    the EXACT per-sample log-density via the coupling log-det.
+
+    loss = E_q[log q(theta|y) - log p(y|theta) - log p(theta)]
+         = KL(q || posterior) - log Z,
+
+    the same objective as term1 - term2 - term3 but with every term a
+    per-sample Monte-Carlo average (the flow has no closed-form entropy or
+    prior cross-entropy). Per-observation pairing only, like fullcov.
+    """
+
+    def loss(y, outputs, e=None):  # e consumed upstream (flow apply)
+        theta, logq = outputs
+        B, ne, d = theta.shape
+        d_y = y.shape[-1]
+        f = batch_f(theta.reshape(-1, d)).reshape(B, ne, d_y)
+        loglik = -0.5 * d_y * math.log(2.0 * math.pi * sig_e) - 0.5 / sig_e * jnp.sum(
+            (y[:, None, :] - f) ** 2, axis=-1
+        )
+        logprior = -0.5 * d * math.log(2.0 * math.pi) - 0.5 * jnp.sum(
+            theta**2, axis=-1
+        )
+        return jnp.mean(logq - loglik - logprior)
+
+    return loss
+
+
 def term4(z_mean, log_z_sig):
     """Lognormal-entropy term ("Eq. 23", ``:338-340``)."""
     d = z_mean.shape[-1]
@@ -178,18 +212,22 @@ def term4(z_mean, log_z_sig):
 
 
 def term5(theta_mean, theta_sig, z_mean, z_sig, e_data, batch_h, sig_eta, pairing="cross",
-          fullcov=False):
+          fullcov=False, theta_data=None):
     """E[log p(z|theta)] via lognormal moment identities ("Eq. 25", ``:347-364``).
 
     batch_h: thetas (N, d_theta) -> h (N, d_z) (second output of fh).
     ``fullcov=True``: ``theta_sig`` carries the (B, d, d) Cholesky factor
     of the full-covariance posterior instead of per-dim variances.
+    ``theta_data`` overrides the draws entirely (already-reparameterized
+    (B*ne, d) samples — the flow posterior path, which has no moment
+    parameterization to thread through).
     """
     d_z = z_mean.shape[-1]
-    if fullcov:
-        theta_data = reparameterize_fullcov(theta_mean, theta_sig, e_data)
-    else:
-        theta_data = reparameterize(theta_mean, theta_sig, e_data)
+    if theta_data is None:
+        if fullcov:
+            theta_data = reparameterize_fullcov(theta_mean, theta_sig, e_data)
+        else:
+            theta_data = reparameterize(theta_mean, theta_sig, e_data)
     h_data = batch_h(theta_data)  # (B*ne, d_z)
     zm = z_mean[:, None, :]
     zs = z_sig[:, None, :]

@@ -121,17 +121,28 @@ class TwoStepTrainer:
             shift = tuple(float(v) for v in np.asarray(y_norm[0]).ravel())
             scale = tuple(float(v) for v in np.asarray(y_norm[1]).ravel())
         self.fullcov = tcfg.posterior == "fullcov"
-        if tcfg.posterior not in ("meanfield", "fullcov"):
+        self.flow = tcfg.posterior == "flow"
+        if tcfg.posterior not in ("meanfield", "fullcov", "flow"):
             raise ValueError(f"unknown posterior family {tcfg.posterior!r}")
-        if self.fullcov and tcfg.pairing != "per_sample":
+        if (self.fullcov or self.flow) and tcfg.pairing != "per_sample":
             raise ValueError(
-                'posterior="fullcov" requires pairing="per_sample" (the '
-                "cross-pairing broadcast is a mean-field reference quirk)"
+                f'posterior="{tcfg.posterior}" requires pairing="per_sample" '
+                "(the cross-pairing broadcast is a mean-field reference quirk)"
             )
-        theta_net_cls = ThetaPosteriorFullCovNet if self.fullcov else ThetaPosteriorNet
-        self.theta_net = theta_net_cls(
-            tcfg.num_neuron, tcfg.num_layers1, cfg.theta_dim, dtype,
-            y_shift=shift, y_scale=scale)
+        if self.flow:
+            from ..models.flow import ThetaPosteriorFlowNet
+
+            self.theta_net = ThetaPosteriorFlowNet(
+                tcfg.num_neuron, tcfg.num_layers1, cfg.theta_dim, dtype,
+                y_shift=shift, y_scale=scale,
+                n_couplings=tcfg.flow_couplings, s_cap=tcfg.flow_s_cap)
+        else:
+            theta_net_cls = (
+                ThetaPosteriorFullCovNet if self.fullcov else ThetaPosteriorNet
+            )
+            self.theta_net = theta_net_cls(
+                tcfg.num_neuron, tcfg.num_layers1, cfg.theta_dim, dtype,
+                y_shift=shift, y_scale=scale)
         self.z_net = ZPredictiveNet(
             tcfg.num_neuron, tcfg.num_layers2, cfg.z_dim, dtype,
             y_shift=shift, y_scale=scale)
@@ -140,7 +151,13 @@ class TwoStepTrainer:
     def init_params(self, key):
         k1, k2 = jax.random.split(key)
         dummy = jnp.zeros((1, self.cfg.y_dim), self.dtype)
-        return self.theta_net.init(k1, dummy), self.z_net.init(k2, dummy)
+        return self._init_theta(k1, dummy), self.z_net.init(k2, dummy)
+
+    def _init_theta(self, key, y_dummy):
+        if self.flow:
+            e_dummy = jnp.zeros((1, self.cfg.theta_dim), self.dtype)
+            return self.theta_net.init(key, y_dummy, e_dummy)
+        return self.theta_net.init(key, y_dummy)
 
     # ------------------------------------------------------------------
     def _maybe_shard(self, x):
@@ -257,13 +274,15 @@ class TwoStepTrainer:
         n = y_data.shape[0]
 
         batch_f = lambda th: self._batch_fh(th)[0]
-        if self.fullcov:
+        if self.flow:
+            loss_fn = make_loss_step1_flow(batch_f, self.cfg.sig_e)
+        elif self.fullcov:
             loss_fn = make_loss_step1_fullcov(batch_f, e_data, self.cfg.sig_e)
         else:
             loss_fn = make_loss_step1(batch_f, e_data, self.cfg.sig_e, t.pairing)
 
         key, k_init = jax.random.split(key)
-        params = self.theta_net.init(k_init, y_data[:1])
+        params = self._init_theta(k_init, y_data[:1])
         opt = self._opt_step1()
         opt_state = opt.init(params)
         start_epoch = 0
@@ -277,11 +296,17 @@ class TwoStepTrainer:
         @jax.jit
         def step(params, opt_state, y_batch, e_key):
             def objective(p):
+                e = (
+                    jax.random.normal(e_key, e_data.shape, e_data.dtype)
+                    if t.resample_e
+                    else e_data
+                )
+                if self.flow:
+                    # the flow reparameterizes INSIDE the net (theta, logq)
+                    outputs = self.theta_net.apply(p, y_batch, e)
+                    return loss_fn(y_batch, outputs)
                 outputs = self.theta_net.apply(p, y_batch)
-                if t.resample_e:
-                    e = jax.random.normal(e_key, e_data.shape, e_data.dtype)
-                    return loss_fn(y_batch, outputs, e)
-                return loss_fn(y_batch, outputs)
+                return loss_fn(y_batch, outputs, e)
 
             loss, grads = jax.value_and_grad(objective)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
