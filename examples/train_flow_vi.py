@@ -1,0 +1,161 @@
+"""Normalizing-flow amortized posterior on a genuinely non-Gaussian problem.
+
+The reference's posterior family slot (``main_custom_training.py:128-176``)
+holds independent Gaussians; this package adds a full-covariance Cholesky
+head and a conditional affine-coupling flow (``models.flow``). This example
+is the flow's existence proof: the banana observable
+
+    y = theta2 + a * theta1^2 + eps,   theta ~ N(0, I),  a = 2
+
+has a curved posterior ridge that NO Gaussian family can represent — and
+the flow tracks the HMC reference posterior's moments and quantiles where
+the trained full-covariance Gaussian measurably cannot.
+
+Outputs results_flow/summary.json:
+  * full-data ELBO of both trained families (lower = smaller KL to the
+    true posterior — same data, same normalizer);
+  * per-observation posterior mean/std/quantiles of flow vs fullcov vs the
+    HMC reference (vmapped chains, split-R-hat checked);
+  * the step-2 lognormal predictive trained through the flow bridge.
+
+Run:  python examples/train_flow_vi.py [--quick]
+"""
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+
+A_BANANA = 2.0
+SIG_E = 0.05**2
+SIG_ETA = 1e-4
+
+
+def fh(theta):
+    y = (theta[1] + A_BANANA * theta[0] ** 2)[None]
+    h = (jnp.exp(0.3 * theta[0]) + 0.2)[None]
+    return y, h
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="results_flow")
+    args = ap.parse_args()
+    n_sam = 512 if args.quick else 2048
+    epochs1 = 300 if args.quick else 600
+    epochs2 = 50
+    n_hmc_obs = 4 if args.quick else 8
+
+    from vbicm_tpu.config import ProblemConfig, TrainConfig
+    from vbicm_tpu.eval.mcmc import hmc, make_fem_logpost
+    from vbicm_tpu.models.flow import flow_moments
+    from vbicm_tpu.prob.datagen import generate_data_fem
+    from vbicm_tpu.vi.elbo import make_loss_step1_flow, make_loss_step1_fullcov
+    from vbicm_tpu.vi.train import TwoStepTrainer
+
+    ds = generate_data_fem(
+        jax.random.PRNGKey(0), jax.jit(jax.vmap(fh)), n_sam=n_sam, ne_sam=8,
+        d_y=1, d_theta=2, sig_e=SIG_E, sig_eta=SIG_ETA,
+    )
+    ynorm = (np.mean(ds.y_data, 0), np.std(ds.y_data, 0))
+    cfg = ProblemConfig(theta_dim=2, y_dim=1, z_dim=1, sig_e=SIG_E,
+                        sig_eta=SIG_ETA)
+    batch_f = lambda th: jax.vmap(fh)(th)[0]
+    e_eval = jax.random.normal(jax.random.PRNGKey(99), (128, 2), jnp.float64)
+
+    summary = {"config": {"n_sam": n_sam, "epochs1": epochs1,
+                          "a": A_BANANA, "sig_e": SIG_E}}
+
+    trainers, params = {}, {}
+    for fam in ("fullcov", "flow"):
+        tcfg = TrainConfig(batch_size=64, num_epoch1=epochs1,
+                           num_epoch2=epochs2, pairing="per_sample",
+                           posterior=fam, scan_epochs=True)
+        tr = TwoStepTrainer(None, cfg, tcfg, fh=fh, y_norm=ynorm)
+        t0 = time.time()
+        p, hist = tr.train_step1(ds.y_data, ds.e_data, jax.random.PRNGKey(2))
+        wall = time.time() - t0
+        if fam == "flow":
+            lf = make_loss_step1_flow(batch_f, SIG_E)
+            out = tr.theta_net.apply(p, jnp.asarray(ds.y_data), e_eval)
+            elbo = float(lf(jnp.asarray(ds.y_data), out))
+        else:
+            lf = make_loss_step1_fullcov(batch_f, e_eval, SIG_E)
+            out = tr.theta_net.apply(p, jnp.asarray(ds.y_data))
+            elbo = float(lf(jnp.asarray(ds.y_data), out))
+        trainers[fam], params[fam] = tr, p
+        summary[fam] = {"full_data_elbo_loss": elbo, "step1_wall_s": wall,
+                        "steps_per_sec": epochs1 * (n_sam // 64) / wall}
+        print(f"[{fam}] full-data ELBO loss {elbo:.4f}  ({wall:.1f}s)")
+
+    # ---- HMC reference on a handful of observations -----------------
+    obs_idx = np.arange(n_hmc_obs)
+    per_obs = []
+    for i in obs_idx:
+        y_obs = ds.y_data[i]
+        logpost = make_fem_logpost(fh, y_obs, SIG_E)
+        res = hmc(jax.random.PRNGKey(100 + int(i)), logpost, d=2,
+                  n_samples=2000, burn=1000, n_chains=8, step_size=0.1)
+        sam = res.samples.reshape(-1, 2)
+        key = jax.random.PRNGKey(200 + int(i))
+        row = {"y": float(y_obs[0]),
+               "hmc_rhat_max": float(np.max(res.rhat)),
+               "hmc_mean": np.mean(sam, 0).tolist(),
+               "hmc_std": np.std(sam, 0).tolist(),
+               "hmc_q10_theta2": float(np.quantile(sam[:, 1], 0.1)),
+               "hmc_q90_theta2": float(np.quantile(sam[:, 1], 0.9))}
+        for fam in ("fullcov", "flow"):
+            tr, p = trainers[fam], params[fam]
+            if fam == "flow":
+                m, v = flow_moments(tr.theta_net, p, ds.y_data[i:i + 1],
+                                    key, n_mc=4096)
+                e = jax.random.normal(key, (4096, 2), jnp.float64)
+                th, _ = tr.theta_net.apply(p, jnp.asarray(ds.y_data[i:i + 1]), e)
+                th = np.asarray(th[0])
+            else:
+                m, L = tr.predict_cholesky(p, ds.y_data[i:i + 1])
+                v = jnp.sum(L**2, axis=-1)
+                e = jax.random.normal(key, (4096, 2), jnp.float64)
+                th = np.asarray(m[0]) + np.asarray(e) @ np.asarray(L[0]).T
+            row[f"{fam}_mean"] = np.asarray(m[0]).tolist()
+            row[f"{fam}_std"] = np.sqrt(np.asarray(v[0])).tolist()
+            row[f"{fam}_q10_theta2"] = float(np.quantile(th[:, 1], 0.1))
+            row[f"{fam}_q90_theta2"] = float(np.quantile(th[:, 1], 0.9))
+        per_obs.append(row)
+        print(f"obs {i}: y={row['y']:.2f}  hmc mean {row['hmc_mean']}  "
+              f"flow {row['flow_mean']}  fullcov {row['fullcov_mean']}")
+
+    # aggregate distance-to-HMC (mean/std/quantiles of theta2, the curved dim)
+    def agg(fam):
+        dm = [abs(r[f"{fam}_mean"][1] - r["hmc_mean"][1]) for r in per_obs]
+        dsd = [abs(r[f"{fam}_std"][1] - r["hmc_std"][1]) for r in per_obs]
+        dq = [abs(r[f"{fam}_q10_theta2"] - r["hmc_q10_theta2"])
+              + abs(r[f"{fam}_q90_theta2"] - r["hmc_q90_theta2"])
+              for r in per_obs]
+        return {"mean_err": float(np.mean(dm)), "std_err": float(np.mean(dsd)),
+                "q10q90_err": float(np.mean(dq))}
+
+    summary["vs_hmc"] = {fam: agg(fam) for fam in ("fullcov", "flow")}
+    summary["per_obs"] = per_obs
+
+    # ---- full two-step for the flow family ---------------------------
+    res2 = trainers["flow"].fit(ds.y_data, ds.e_data, jax.random.PRNGKey(5),
+                                epochs1=epochs1, epochs2=epochs2)
+    summary["flow"]["step2_final_loss"] = float(res2.hist_step2[-1])
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary["vs_hmc"], indent=2))
+    print(f"flow step2 final loss {summary['flow']['step2_final_loss']:.3e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -311,3 +311,60 @@ def test_hmc_fem_posterior_matches_metropolis(cooks_model):
     tol = 5 * (h.mean_mcse() + m.mean_mcse())
     assert abs(hs[:, 0].mean() - ms[:, 0].mean()) < max(tol[0], 0.15)
     assert 0.5 < hs[:, 0].std() / ms[:, 0].std() < 2.0
+
+
+def test_comparison_pipeline_all_posterior_families():
+    """The comparison surfaces (kld_maps / mean_sig_fields) run for every
+    posterior family — meanfield, fullcov, flow — through the
+    family-agnostic ``TwoStepTrainer.theta_sampler`` hook (the reference
+    pipeline, ``main_postprocess.py:65-78``, supports only its mean-field
+    family)."""
+    from vbicm_tpu.config import ProblemConfig, TrainConfig
+    from vbicm_tpu.eval import comparison as cmp
+    from vbicm_tpu.prob.analytic import (
+        f_fun_2d_case3,
+        generate_data_2d_case3,
+        h_fun_2d_case3,
+    )
+    from vbicm_tpu.vi.train import TwoStepTrainer
+
+    def fh(th):
+        return f_fun_2d_case3(th), h_fun_2d_case3(th)
+
+    batch_h = lambda th: jax.vmap(fh)(th)[1]
+    ds = generate_data_2d_case3(jax.random.PRNGKey(0), 32)
+    cfg = ProblemConfig(theta_dim=2, y_dim=2, z_dim=2, sig_e=0.1**2,
+                        sig_eta=0.01**2)
+    n_y, num_sam = 6, 16
+    y_eval = np.asarray(ds.y_data[:n_y])
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(0)
+    tm_c = rng.normal(size=(n_y, 2)) * 0.3  # classical stand-in
+    tsg_c = np.full((n_y, 2), 0.04)
+
+    for fam in ("meanfield", "fullcov", "flow"):
+        tcfg = TrainConfig(batch_size=16, num_epoch1=2, num_epoch2=2,
+                           pairing="per_sample", posterior=fam)
+        tr = TwoStepTrainer(None, cfg, tcfg, fh=fh)
+        res = tr.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(1))
+        tm, tsg, zm, zs = tr.predict(res.theta_params, res.z_params, y_eval)
+        zs = np.maximum(np.asarray(zs), 1e-6)
+        sampler = tr.theta_sampler(res.theta_params, y_eval)
+        th = sampler(key, num_sam)
+        assert th.shape == (n_y, num_sam, 2) and np.isfinite(
+            np.asarray(th)).all()
+
+        fields = cmp.mean_sig_fields(
+            key, batch_h, (np.asarray(tm), np.asarray(tsg), np.asarray(zm),
+                           zs), (tm_c, tsg_c), cfg.sig_eta, num_sam,
+            proposed_sampler=sampler)
+        for name in ("proposed", "classical", "reference"):
+            m, s = fields[name]
+            assert m.shape == (n_y, 2) and np.isfinite(m).all(), (fam, name)
+
+        kld_p, kld_c = cmp.kld_maps(
+            key, batch_h, y_eval, (np.asarray(tm), np.asarray(tsg),
+                                   np.asarray(zm), zs), (tm_c, tsg_c),
+            cfg.sig_eta, num_sam, proposed_sampler=sampler)
+        assert kld_p.shape == (n_y,) and np.isfinite(kld_p).all(), fam
+        assert kld_c.shape == (n_y,) and np.isfinite(kld_c).all(), fam

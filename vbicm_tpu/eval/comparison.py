@@ -58,13 +58,26 @@ def mc_z_samples(
     theta = jnp.asarray(theta_mean)[:, None, :] + eps * jnp.sqrt(
         jnp.asarray(theta_sig)[:, None, :]
     )
-    flat = theta.reshape(-1, d_th)
+    return mc_z_samples_theta(k_eta, batch_h, theta, sig_eta, chunk=chunk)
+
+
+def mc_z_samples_theta(key, batch_h: Callable, theta_sam, sig_eta: float,
+                       *, chunk: int = 8192):
+    """Family-agnostic sibling of :func:`mc_z_samples`: push PRE-DRAWN
+    posterior samples ``theta_sam (n_y, num_sam, d_theta)`` through the FEM
+    and add the shared-eta observation noise. This is how the non-Gaussian
+    posterior families (full-covariance Cholesky, normalizing flow — drawn
+    via ``TwoStepTrainer.sample_theta``) enter every comparison surface:
+    the eval pipeline needs samples, not moment parameterizations."""
+    theta_sam = jnp.asarray(theta_sam)
+    n_y, num_sam, d_th = theta_sam.shape
+    flat = theta_sam.reshape(-1, d_th)
     hs = []
     for i in range(0, flat.shape[0], chunk):
         hs.append(batch_h(flat[i : i + chunk]))
     h = jnp.concatenate(hs).reshape(n_y, num_sam, -1)
     eta = jnp.sqrt(sig_eta) * jax.random.normal(
-        k_eta, (num_sam, h.shape[-1]), dtype=jnp.float64
+        key, (num_sam, h.shape[-1]), dtype=jnp.float64
     )
     return np.asarray(h + eta[None, :, :])
 
@@ -146,12 +159,18 @@ def kld_maps(
     classical: tuple,
     sig_eta: float,
     num_sam: int,
+    proposed_sampler: Callable = None,
 ):
     """Both KLD maps against one shared reference KDE.
 
     proposed: (theta_mean, theta_sig, z_mean, z_sig) of the proposed model
     at y_data; classical: (theta_mean, theta_sig) of the method-1 model.
     Returns (kld_proposed (n_y,), kld_classical (n_y,)).
+
+    ``proposed_sampler(key, num_sam) -> theta (n_y, num_sam, d)`` overrides
+    the Gaussian theta draws of the shared reference KDE — the hook through
+    which the full-covariance and normalizing-flow posterior families
+    (``TwoStepTrainer.sample_theta``) drive the same comparison pipeline.
 
     Mirrors ``kld_2d_example_case4_proposed`` + ``..._method1``
     (``src/postprocess_lib.py:1087-1168``): the reference conditional pdf is
@@ -178,7 +197,12 @@ def kld_maps(
     )
 
     # shared reference: theta ~ q_proposed -> FEM h + eta
-    z_ref = mc_z_samples(k2, batch_h, tm_p, tsg_p, sig_eta, num_sam)
+    if proposed_sampler is not None:
+        k2a, k2b = jax.random.split(k2)
+        z_ref = mc_z_samples_theta(
+            k2b, batch_h, proposed_sampler(k2a, num_sam), sig_eta)
+    else:
+        z_ref = mc_z_samples(k2, batch_h, tm_p, tsg_p, sig_eta, num_sam)
     y_rep = np.repeat(y_data, num_sam, axis=0)  # (n_y*num_sam, 2)
     yz_ref = np.concatenate([y_rep, z_ref.reshape(-1, 2)], axis=1)
     kde_joint_ref = stats.gaussian_kde(yz_ref.T, bw_method=1.0)
@@ -217,8 +241,12 @@ def mean_sig_fields(
     classical: tuple,
     sig_eta: float,
     num_sam: int,
+    proposed_sampler: Callable = None,
 ):
     """z mean/variance fields of the three models over a y-grid.
+
+    ``proposed_sampler`` (see :func:`kld_maps`) swaps the reference field's
+    Gaussian theta draws for exact samples of a non-Gaussian family.
 
     Returns dict with keys proposed/classical/reference, each a
     (z_mean (n_y, 2), z_sig (n_y, 2)) pair.
@@ -237,7 +265,12 @@ def mean_sig_fields(
     z_sig_prop = (np.exp(zs_p) - 1.0) * z_mean_prop**2
 
     z_cla = mc_z_samples(k1, batch_h, tm_c, tsg_c, sig_eta, num_sam)
-    z_ref = mc_z_samples(k2, batch_h, tm_p, tsg_p, sig_eta, num_sam)
+    if proposed_sampler is not None:
+        k2a, k2b = jax.random.split(k2)
+        z_ref = mc_z_samples_theta(
+            k2b, batch_h, proposed_sampler(k2a, num_sam), sig_eta)
+    else:
+        z_ref = mc_z_samples(k2, batch_h, tm_p, tsg_p, sig_eta, num_sam)
 
     return {
         "proposed": (z_mean_prop, z_sig_prop),

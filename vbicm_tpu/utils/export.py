@@ -77,7 +77,8 @@ def load_exported(path_or_bytes) -> Callable:
     return exported.call
 
 
-def make_vi_server(theta_net, theta_params, z_net, z_params) -> Callable:
+def make_vi_server(theta_net, theta_params, z_net, z_params,
+                   flow_e=None) -> Callable:
     """The inference-server kernel: ``serve(y) -> dict`` of every quantity
     the reference's postprocess reads off the trained nets
     (``src/postprocess_lib.py:990-1084``), in one fused batched call:
@@ -90,10 +91,26 @@ def make_vi_server(theta_net, theta_params, z_net, z_params) -> Callable:
       ``main_custom_training.py:347-364``).
 
     Closed over the trained parameters — ready for :func:`export_fn`.
+
+    ``flow_e``: for the normalizing-flow posterior family
+    (``models.flow.ThetaPosteriorFlowNet``) pass a fixed (n_mc, d_theta)
+    block of base draws; the server then reports deterministic Monte-Carlo
+    posterior moments (the flow has no closed-form moments). The draws are
+    baked into the exported artifact, so serving stays a pure function of y.
     """
+    from ..models.mlp import marginal_variance
 
     def serve(y):
-        theta_mean, theta_sig, _ = theta_net.apply(theta_params, y)
+        if flow_e is not None:
+            theta_sam, _ = theta_net.apply(theta_params, y, flow_e)
+            theta_mean = jnp.mean(theta_sam, axis=1)
+            theta_sig = jnp.var(theta_sam, axis=1)
+        else:
+            theta_mean, theta_sig, _ = theta_net.apply(theta_params, y)
+            if theta_sig.ndim == 3:
+                # full-covariance family: the head carries the Cholesky
+                # factor; report the marginal variances diag(L L^T)
+                theta_sig = marginal_variance(theta_sig)
         z_mu, z_sig, _ = z_net.apply(z_params, y)
         z_var = z_sig**2
         z_mean_phys = jnp.exp(z_mu + 0.5 * z_var)

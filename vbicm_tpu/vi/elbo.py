@@ -250,18 +250,32 @@ def moment_match_loss(z_mean, z_sig, logz_mean_post, logz_sig_post):
     )
 
 
-def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross", fullcov=False):
+def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross",
+                    fullcov=False, flow=False):
     """loss((y, logz_mean_post, logz_sig_post), outputs) for step 2.
 
     outputs = (theta_mean, theta_sig, z_mean, z_sig, log_z_sig); with
     ``fullcov=True`` the ``theta_sig`` slot carries the posterior Cholesky
     factor (B, d, d) and term5's theta draws use it.
+
+    ``flow=True``: outputs = (theta_data, z_mean, z_sig, log_z_sig) where
+    ``theta_data`` is the (B*ne, d) block of ALREADY-reparameterized flow
+    samples (``ThetaPosteriorFlowNet`` draws inside the net; there are no
+    moment parameters to thread through) — routed to term5's
+    ``theta_data`` hook. Per-observation pairing only.
     """
+    if flow and pairing != "per_sample":
+        raise ValueError('flow step-2 loss requires pairing="per_sample"')
 
     def loss(batch, outputs, e=None):
         e = e_data if e is None else e
         _, logz_mean_post, logz_sig_post = batch
-        theta_mean, theta_sig, z_mean, z_sig, log_z_sig = outputs
+        if flow:
+            theta_data, z_mean, z_sig, log_z_sig = outputs
+            theta_mean = theta_sig = None
+        else:
+            theta_mean, theta_sig, z_mean, z_sig, log_z_sig = outputs
+            theta_data = None
         mm = moment_match_loss(z_mean, z_sig, logz_mean_post, logz_sig_post)
         if alpha == 0.0:
             # skip terms 4/5 entirely: on problems where the lognormal
@@ -270,7 +284,7 @@ def make_loss_step2(batch_h, e_data, sig_eta, alpha, pairing="cross", fullcov=Fa
             return mm
         t4 = term4(z_mean, log_z_sig)
         t5 = term5(theta_mean, theta_sig, z_mean, z_sig, e, batch_h, sig_eta,
-                   pairing, fullcov=fullcov)
+                   pairing, fullcov=fullcov, theta_data=theta_data)
         return (t4 - t5) * alpha + mm
 
     return loss

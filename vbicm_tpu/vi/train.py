@@ -49,7 +49,12 @@ from ..models.mlp import (
     marginal_variance,
 )
 from ..solver import make_fh_fun
-from .elbo import make_loss_step1, make_loss_step1_fullcov, make_loss_step2
+from .elbo import (
+    make_loss_step1,
+    make_loss_step1_flow,
+    make_loss_step1_fullcov,
+    make_loss_step2,
+)
 
 
 @dataclasses.dataclass
@@ -372,15 +377,23 @@ class TwoStepTrainer:
         y_data = jnp.asarray(y_data, self.dtype)
         e_data = jnp.asarray(e_data, self.dtype)
         n, ne = y_data.shape[0], e_data.shape[0]
-        theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y_data)
-        if self.fullcov:
-            # theta_sig carries the Cholesky factor: theta = mu + L e
-            theta_sam = theta_mean[:, None, :] + jnp.einsum(
-                "bij,nj->bni", theta_sig, e_data
-            )
+        if self.flow:
+            # the flow reparameterizes inside the net: (n, ne, d) samples
+            # drawn through the coupling stack from the fixed e_data seeds
+            theta_sam, _ = self.theta_net.apply(theta_params, y_data, e_data)
         else:
-            theta_std = jnp.sqrt(theta_sig)
-            theta_sam = e_data[None, :, :] * theta_std[:, None, :] + theta_mean[:, None, :]
+            theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y_data)
+            if self.fullcov:
+                # theta_sig carries the Cholesky factor: theta = mu + L e
+                theta_sam = theta_mean[:, None, :] + jnp.einsum(
+                    "bij,nj->bni", theta_sig, e_data
+                )
+            else:
+                theta_std = jnp.sqrt(theta_sig)
+                theta_sam = (
+                    e_data[None, :, :] * theta_std[:, None, :]
+                    + theta_mean[:, None, :]
+                )
         theta_sam = theta_sam.reshape(-1, theta_sam.shape[-1])  # (n*ne, d)
 
         batch_fh = jax.jit(self._batch_fh)
@@ -420,7 +433,8 @@ class TwoStepTrainer:
 
         batch_h = lambda th: self._batch_fh(th)[1]
         loss_fn = make_loss_step2(batch_h, e_data, self.cfg.sig_eta, t.alpha,
-                                  t.pairing, fullcov=self.fullcov)
+                                  t.pairing, fullcov=self.fullcov,
+                                  flow=self.flow)
 
         key, k_init = jax.random.split(key)
         z_params = self.z_net.init(k_init, y_data[:1])
@@ -438,13 +452,27 @@ class TwoStepTrainer:
         def step(z_params, opt_state, y_b, lm_b, ls_b, e_key):
             # theta-net frozen: apply under stop_gradient semantics by not
             # differentiating w.r.t. theta_params at all
-            theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y_b)
+            e = (
+                jax.random.normal(e_key, e_data.shape, e_data.dtype)
+                if t.resample_e
+                else e_data
+            )
+            if self.flow:
+                # flow reparameterizes inside the net; hand term5 the
+                # already-drawn (B*ne, d) sample block via its theta_data
+                # hook (make_loss_step2(flow=True))
+                theta_sam, _ = self.theta_net.apply(theta_params, y_b, e)
+                theta_data = theta_sam.reshape(-1, theta_sam.shape[-1])
+            else:
+                theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y_b)
 
             def objective(zp):
                 z_mean, z_sig, log_z_sig = self.z_net.apply(zp, y_b)
-                outputs = (theta_mean, theta_sig, z_mean, z_sig, log_z_sig)
+                if self.flow:
+                    outputs = (theta_data, z_mean, z_sig, log_z_sig)
+                else:
+                    outputs = (theta_mean, theta_sig, z_mean, z_sig, log_z_sig)
                 if t.resample_e:
-                    e = jax.random.normal(e_key, e_data.shape, e_data.dtype)
                     return loss_fn((y_b, lm_b, ls_b), outputs, e)
                 return loss_fn((y_b, lm_b, ls_b), outputs)
 
@@ -553,17 +581,61 @@ class TwoStepTrainer:
         )
 
     # ------------------------------------------------------------------
-    def predict(self, theta_params, z_params, y):
+    def predict(self, theta_params, z_params, y, *, key=None, n_mc=256):
         """Full model outputs like the reference's ``final_model_test``
         (theta_mean, theta_sig, z_mean, z_sig). With the full-covariance
         posterior, theta_sig is the MARGINAL variance diag(L L^T) — use
-        :meth:`predict_cholesky` for the full factor."""
+        :meth:`predict_cholesky` for the full factor. With the flow
+        posterior the moments are ``n_mc``-sample Monte-Carlo estimates
+        (``models.flow.flow_moments``); ``key`` seeds the base draws
+        (deterministic PRNGKey(0) default)."""
         y = jnp.asarray(y, self.dtype)
-        theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y)
-        if self.fullcov:
-            theta_sig = marginal_variance(theta_sig)
+        if self.flow:
+            from ..models.flow import flow_moments
+
+            key = jax.random.PRNGKey(0) if key is None else key
+            theta_mean, theta_sig = flow_moments(
+                self.theta_net, theta_params, y, key, n_mc=n_mc)
+        else:
+            theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y)
+            if self.fullcov:
+                theta_sig = marginal_variance(theta_sig)
         z_mean, z_sig, _ = self.z_net.apply(z_params, y)
         return theta_mean, theta_sig, z_mean, z_sig
+
+    def theta_sampler(self, theta_params, y):
+        """``sampler(key, num_sam) -> theta (n_y, num_sam, d)`` closure for
+        the eval surfaces (``eval.comparison.kld_maps`` /
+        ``mean_sig_fields`` ``proposed_sampler`` hook) — exact posterior
+        draws for ANY family, so the comparison pipeline never needs to
+        know the parameterization."""
+        y = jnp.asarray(y, self.dtype)
+
+        def sampler(key, num_sam):
+            e = jax.random.normal(key, (num_sam, self.cfg.theta_dim),
+                                  self.dtype)
+            return self.sample_theta(theta_params, y, e)
+
+        return sampler
+
+    def sample_theta(self, theta_params, y, e):
+        """Posterior draws theta ~ q(.|y) from base noise ``e (ne, d)``:
+        (B, ne, d) — family-agnostic (meanfield/fullcov/flow), the sampling
+        surface the eval pipelines (comparison, refine, MCMC warm starts)
+        use so they need not know the family's parameterization."""
+        y = jnp.asarray(y, self.dtype)
+        e = jnp.asarray(e, self.dtype)
+        if self.flow:
+            theta, _ = self.theta_net.apply(theta_params, y, e)
+            return theta
+        theta_mean, theta_sig, _ = self.theta_net.apply(theta_params, y)
+        if self.fullcov:
+            return theta_mean[:, None, :] + jnp.einsum(
+                "bij,nj->bni", theta_sig, e)
+        return (
+            e[None, :, :] * jnp.sqrt(theta_sig)[:, None, :]
+            + theta_mean[:, None, :]
+        )
 
     def predict_cholesky(self, theta_params, y):
         """(theta_mean, L) of the full-covariance posterior — e.g. for
