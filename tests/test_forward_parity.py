@@ -25,6 +25,7 @@ def solutions(cooks_model, golden):
     return sols
 
 
+@pytest.mark.tpu_lane
 def test_displacement_parity(solutions):
     for case, sol in solutions:
         u = np.asarray(sol.u)
@@ -34,6 +35,7 @@ def test_displacement_parity(solutions):
         np.testing.assert_allclose(np.linalg.norm(u), case["u_norm"], rtol=1e-10)
 
 
+@pytest.mark.tpu_lane
 def test_stress_strain_parity(solutions):
     for case, sol in solutions:
         # golden stores (6, nqpt) for element 12 (0-based 11)
@@ -45,6 +47,7 @@ def test_stress_strain_parity(solutions):
         )
 
 
+@pytest.mark.tpu_lane
 def test_von_mises_probe_parity(cooks_model, solutions):
     from vbicm_tpu.ops.element import lame_from_Ev
 
@@ -54,6 +57,7 @@ def test_von_mises_probe_parity(cooks_model, solutions):
         np.testing.assert_allclose(np.asarray(vm), case["vm_e12_q13"], atol=1e-9)
 
 
+@pytest.mark.tpu_lane
 def test_fh_theta_map_parity(cooks_model, golden):
     """fh(theta) must hit the golden (y, h) for the theta-mapped cases."""
     fh = make_fh_fun(cooks_model, ProblemConfig())
@@ -65,6 +69,7 @@ def test_fh_theta_map_parity(cooks_model, golden):
         np.testing.assert_allclose(np.asarray(h), case["vm_e12_q13"], atol=1e-9)
 
 
+@pytest.mark.tpu_lane
 def test_fh_vmap_batch(cooks_model):
     fh = make_fh_fun(cooks_model)
     thetas = jnp.asarray(np.random.default_rng(0).normal(size=(8, 2)))
@@ -131,6 +136,7 @@ def test_matrix_free_gradient(cooks_mesh):
     np.testing.assert_allclose(float(g[0]), float(fd), rtol=1e-4, atol=1e-8)
 
 
+@pytest.mark.tpu_lane
 def test_mixed_precision_refinement(cooks_model):
     """f32 factorization + refinement recovers f64-grade accuracy."""
     from vbicm_tpu.ops.element import lame_from_Ev

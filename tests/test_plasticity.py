@@ -101,6 +101,7 @@ def cooks_model():
     return build_fem_model(cooks_membrane_mesh(8, 4), dense=True)
 
 
+@pytest.mark.tpu_lane
 def test_elastic_limit_matches_linear(cooks_model):
     """sig_y -> huge: the full incremental machinery reproduces the linear
     elastic solve (scipy partitioned oracle) to machine precision."""

@@ -3,6 +3,7 @@ operator, and the two-level solver with/without it."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vbicm_tpu.mesh import cooks_membrane_mesh
 from vbicm_tpu.model import build_fem_model
@@ -217,6 +218,7 @@ def test_two_level_solver_vcycle_matches_f64():
         np.testing.assert_allclose(ub[i], ui, atol=1e-8 * np.abs(ui).max())
 
 
+@pytest.mark.tpu_lane
 def test_batched_two_level_solver_matches_vmapped():
     """The natively-batched two-level CG (scalar alpha/beta freezing,
     z-eliminated preconditioner fold) against the vmapped production

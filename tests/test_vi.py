@@ -218,6 +218,7 @@ def test_load_reference_dataset():
     assert abs(ds.y_data.mean()) < 10
 
 
+@pytest.mark.tpu_lane
 def test_two_step_training_smoke(cooks_model, small_fem_data):
     """Short run: both losses must decrease (BASELINE configs[2/3] smoke)."""
     ds = small_fem_data

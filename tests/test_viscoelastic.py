@@ -168,3 +168,119 @@ def test_vmap_material_batch(model):
             np.asarray(batched[k]), np.asarray(tip(taus[k])),
             rtol=0, atol=1e-12,
         )
+
+
+# ---------------------------------------------------------------------------
+# VI through the viscoelastic trajectory (make_fh_fun_viscoelastic)
+# ---------------------------------------------------------------------------
+
+
+def test_fh_viscoelastic_shapes_and_creep(model):
+    """Observation operator sanity: trajectory shape, positive von Mises
+    probe, and monotone creep growth under the step load."""
+    from vbicm_tpu.config import ProblemConfig
+    from vbicm_tpu.solver import make_fh_fun_viscoelastic
+
+    cfg = ProblemConfig(node_id=model.nnodes, ele_id=model.nele // 2)
+    n_steps = 6
+    fh = make_fh_fun_viscoelastic(model, cfg, n_steps=n_steps)
+    y, h = fh(jnp.zeros(2))
+    assert y.shape == (2 * n_steps,) and h.shape == (2,)
+    assert np.isfinite(np.asarray(y)).all()
+    assert (np.asarray(h) > 0).all()
+    # creep: |u_y(t)| strictly increases under the constant load
+    uy = np.abs(np.asarray(y).reshape(n_steps, 2)[:, 1])
+    assert (np.diff(uy) > 0).all()
+
+
+def test_fh_viscoelastic_gradients_vs_fd(model):
+    """theta-gradients through the whole lax.scan of spectral affine solves
+    against central finite differences; both Prony parameters observable."""
+    from vbicm_tpu.config import ProblemConfig
+    from vbicm_tpu.solver import make_fh_fun_viscoelastic
+
+    cfg = ProblemConfig(node_id=model.nnodes, ele_id=model.nele // 2)
+    fh = make_fh_fun_viscoelastic(model, cfg, n_steps=5)
+
+    def loss(t):
+        y, h = jax.vmap(fh)(t)
+        return jnp.sum(y**2) + jnp.sum(h)
+
+    th = jnp.asarray(np.random.default_rng(0).standard_normal((2, 2)))
+    g = np.asarray(jax.grad(loss)(th))
+    t0 = np.asarray(th)
+    eps = 1e-6
+    fd = np.zeros_like(t0)
+    for i in range(t0.shape[0]):
+        for j in range(2):
+            tp, tm = t0.copy(), t0.copy()
+            tp[i, j] += eps
+            tm[i, j] -= eps
+            fd[i, j] = (
+                float(loss(jnp.asarray(tp))) - float(loss(jnp.asarray(tm)))
+            ) / (2 * eps)
+    np.testing.assert_allclose(g, fd, rtol=5e-6)
+    assert np.abs(g).min() > 1e-8  # both parameters observable
+
+
+def test_two_step_vi_through_viscoelasticity(model):
+    """End-to-end amortized VI: dataset generated by the Maxwell creep
+    forward model, both steps trained THROUGH the time-integration scan —
+    the rate-dependent sibling of test_two_step_vi_through_plasticity."""
+    from vbicm_tpu.config import ProblemConfig, TrainConfig
+    from vbicm_tpu.prob.datagen import generate_data_fem
+    from vbicm_tpu.solver import make_fh_fun_viscoelastic
+    from vbicm_tpu.vi.train import TwoStepTrainer
+
+    n_steps = 4
+    cfg = ProblemConfig(node_id=model.nnodes, ele_id=model.nele // 2,
+                        y_dim=2 * n_steps, sig_e=1e-2, sig_eta=1e-4)
+    fh = make_fh_fun_viscoelastic(model, cfg, n_steps=n_steps)
+    ds = generate_data_fem(
+        jax.random.PRNGKey(3), jax.jit(jax.vmap(fh)), n_sam=32, ne_sam=4,
+        d_y=2 * n_steps, sig_e=1e-2, sig_eta=1e-4,
+    )
+    tcfg = TrainConfig(batch_size=16, num_epoch1=10, num_epoch2=6)
+    trainer = TwoStepTrainer(None, cfg, tcfg, fh=fh)
+    res = trainer.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(0))
+    assert np.isfinite(res.hist_step1).all() and np.isfinite(res.hist_step2).all()
+    # last-batch losses are MC-noisy (ne=4); compare the trend, not a pair
+    assert np.mean(res.hist_step1[-3:]) < res.hist_step1[0]
+    assert res.hist_step2[-1] < res.hist_step2[0]
+
+
+@pytest.mark.slow
+def test_viscoelastic_posterior_vs_laplace(model):
+    """Amortized posterior + per-observation SVI refinement against the
+    Laplace baseline on one tight-noise creep observation: the refined
+    full-covariance posterior must land on the Laplace mode/scales (the
+    posterior is near-Gaussian at this noise level)."""
+    from vbicm_tpu.config import ProblemConfig
+    from vbicm_tpu.eval.laplace import laplace_posterior
+    from vbicm_tpu.eval.mcmc import make_fem_logpost
+    from vbicm_tpu.vi.refine import refine_posterior
+    from vbicm_tpu.solver import make_fh_fun_viscoelastic
+
+    n_steps = 5
+    sig_e = 1e-4
+    cfg = ProblemConfig(node_id=model.nnodes, ele_id=model.nele // 2,
+                        y_dim=2 * n_steps, sig_e=sig_e)
+    fh = make_fh_fun_viscoelastic(model, cfg, n_steps=n_steps)
+    theta_true = jnp.array([0.7, -0.4])
+    y_obs, _ = fh(theta_true)
+
+    logpost = make_fem_logpost(fh, y_obs, sig_e)
+    lap = laplace_posterior(logpost, jnp.zeros(2))
+    batch_f = lambda th: jax.vmap(fh)(th)[0]
+    mu, L, hist = refine_posterior(
+        batch_f, y_obs, sig_e, jnp.zeros(2), 0.3 * jnp.eye(2),
+        key=jax.random.PRNGKey(1), steps=3000, ne=16, lr=1e-2,
+    )
+    la_std = np.sqrt(np.diag(np.asarray(lap.cov)))
+    vi_std = np.sqrt(np.diag(np.asarray(L @ L.T)))
+    # mean agreement in posterior-std units; std ratio bracketed (same
+    # criteria as test_refine_field_posterior_matches_laplace)
+    zgap = np.abs(np.asarray(mu) - np.asarray(lap.theta_map)) / la_std
+    assert np.all(zgap < 0.6), (zgap, la_std)
+    ratio = vi_std / la_std
+    assert np.all(ratio > 0.7) and np.all(ratio < 1.4), ratio

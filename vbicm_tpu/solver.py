@@ -488,6 +488,110 @@ def make_fh_fun_plasticity(
     return fh
 
 
+def make_fh_fun_viscoelastic(
+    model: FemModel,
+    cfg: ProblemConfig = ProblemConfig(),
+    *,
+    E: float = 20.0,
+    v: float = 0.3,
+    g0: float = 0.4,
+    tau0: float = 1.0,
+    theta_std=(0.3, 0.5),
+    dt: float = 0.25,
+    n_steps: int = 8,
+    obs_steps=None,
+    load_history=None,
+) -> Callable:
+    """Observation operator ``fh(theta) -> (y, h)`` through the generalized-
+    Maxwell viscoelastic forward model (``ops.viscoelastic``) — amortized
+    inversion of PRONY-SERIES parameters from a creep/relaxation
+    displacement TRAJECTORY. Fills the same reference surface as the
+    plasticity operator (``src/fem_preprocess.py:486-501`` inelastic
+    storage, empty ``mat_type == 99`` driver) with the rate-DEPENDENT
+    member of the path-dependent family.
+
+    theta: (2,) standard-normal; lognormal map onto the single Prony branch
+    (instantaneous shear modulus mu0 from the elastic card held fixed —
+    identifiability: the t=0 response pins mu0, the transient pins the
+    branch):
+
+        g   = g0   * exp(theta_std[0] * t0)   (branch fraction, sigmoid-capped < 1)
+        tau = tau0 * exp(theta_std[1] * t1)   (relaxation time)
+
+    so mu_1 = g * mu0 and mu_inf = (1 - g) * mu0.
+
+    y = probe displacements (both dofs of ``cfg.node_id``) at the
+    ``obs_steps`` time indices (default: every step — the full creep
+    trajectory, y_dim = 2 * n_steps); h = reference von Mises of the
+    ACTUAL viscoelastic probe stress (elastic bulk + Prony deviatoric
+    branches) at the final time, at ``cfg.nipt_id`` of ``cfg.ele_id``.
+    Gradients flow through the whole ``lax.scan`` trajectory (every step is
+    a spectral affine solve with a custom VJP). Batch with
+    ``jax.vmap(fh)``; pass straight into ``TwoStepTrainer(fh=...)``.
+    """
+    from .ops.viscoelastic import MaxwellMaterial, _dev3, make_viscoelastic_solver
+
+    if model.stype != 2:
+        raise NotImplementedError("viscoelastic fh: plane-strain models only")
+    solve = make_viscoelastic_solver(
+        model, dt=dt, n_steps=n_steps, load_history=load_history
+    )
+    lam0, mu0 = material_coeffs(model.stype, E, v)
+    ts = jnp.asarray(theta_std, model.dtype)
+    if not (1 <= cfg.node_id <= model.nnodes):
+        raise ValueError(f"probe node_id {cfg.node_id} outside [1, {model.nnodes}]")
+    if not (1 <= cfg.ele_id <= model.nele):
+        raise ValueError(f"probe ele_id {cfg.ele_id} outside [1, {model.nele}]")
+    obs_full = model.ndm * (cfg.node_id - 1) + np.arange(model.ndm)
+    obs_dofs = jnp.asarray(np.asarray(model.dof_map)[obs_full])
+    if obs_steps is None:
+        obs_steps = np.arange(n_steps)
+    obs_steps = jnp.asarray(np.asarray(obs_steps, dtype=np.int32))
+    e = cfg.ele_id - 1
+    q = jnp.asarray(cfg.nipt_id, dtype=jnp.int32) - 1
+    B_probe = model.B[e, q]
+    lm_probe = model.lm[e]
+
+    def fh(theta):
+        theta = jnp.asarray(theta, model.dtype)
+        # branch fraction in (0, 1): lognormal ratio through g/(1+g) keeps
+        # mu_inf > 0 for every theta draw (a raw lognormal can exceed 1)
+        r = g0 / (1.0 - g0) * jnp.exp(ts[0] * theta[0])
+        g = r / (1.0 + r)
+        tau = tau0 * jnp.exp(ts[1] * theta[1])
+        mat = MaxwellMaterial(
+            lam=jnp.asarray(lam0, model.dtype),
+            mu_inf=(1.0 - g) * mu0,
+            mu=(g * mu0)[None],
+            tau=tau[None],
+        )
+        res = solve(mat)
+        y = res.u[obs_steps][:, obs_dofs].reshape(-1)
+        # probe stress at final time: elastic bulk + mu_inf deviatoric +
+        # Prony branch stresses (s33 recovered from the traceless property)
+        u_fin = res.u[-1]
+        # B_probe already gathers the cfg.nipt_id quadrature points, so
+        # every per-qpt array below is (nq_sel, ...) — no second q-gather
+        eps3 = jnp.einsum("qai,i->qa", B_probe, u_fin[lm_probe])  # (nq_sel, 3)
+        dev_q = _dev3(eps3)  # (nq_sel, 4): d11, d22, d33, d12
+        s_br = res.s[:, e, q]  # (nb, nq_sel, 3): s11, s22, s12
+        s_sum = jnp.sum(s_br, axis=0)  # (nq_sel, 3)
+        sd11 = 2.0 * mat.mu_inf * dev_q[..., 0] + s_sum[..., 0]
+        sd22 = 2.0 * mat.mu_inf * dev_q[..., 1] + s_sum[..., 1]
+        sd33 = -(sd11 + sd22)  # deviatoric: traceless
+        t12 = 2.0 * mat.mu_inf * dev_q[..., 3] + s_sum[..., 2]
+        tr = eps3[..., 0] + eps3[..., 1]
+        p = mat.k_bulk * tr
+        zero = jnp.zeros_like(sd11)
+        sig6 = jnp.stack(
+            [sd11 + p, sd22 + p, sd33 + p, t12, zero, zero], axis=-1
+        )
+        h = von_mises_reference(sig6)
+        return y, h
+
+    return fh
+
+
 def make_coarse_spectral_apply(
     coarse_model: FemModel, *, f32_precision=jax.lax.Precision.HIGHEST
 ) -> Callable:
