@@ -105,17 +105,141 @@ def main():
     mfu = mfu_fields(flops_ep and flops_ep / nb, bytes_ep and bytes_ep / nb,
                      steps_per_sec)
 
-    print(
-        json.dumps(
-            {
-                "metric": "elbo_steps_per_sec_b64",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / 50.0, 3),
-                **mfu,
-            }
-        )
+    out = {
+        "metric": "elbo_steps_per_sec_b64",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / 50.0, 3),
+        **mfu,
+    }
+
+    # --- scaled hardware-meaningful metrics (round-3 verdict item 3): the
+    # B=64 headline measures dispatch latency on a 462-dof mesh (MFU 7e-5
+    # by its own fields); these sections put the machine numbers — the
+    # scaled stencil two-level path, the raw stencil-matvec bandwidth
+    # fraction, and the 3-D 56k-dof solve — into the SAME driver-parsed
+    # JSON line. Each section is fail-soft so the headline always prints.
+    if on_tpu:
+        try:
+            out.update(_scaled_2d_fields())
+        except Exception as exc:  # pragma: no cover - bench resilience
+            out["scaled2d_error"] = repr(exc)[:200]
+        try:
+            out.update(_scaled_3d_fields())
+        except Exception as exc:  # pragma: no cover - bench resilience
+            out["scaled3d_error"] = repr(exc)[:200]
+
+    print(json.dumps(out))
+
+
+def _scaled_2d_fields():
+    """160x80 (26k-dof) B=256 metrics: two-level stencil solves/s with XLA
+    roofline fields, plus the raw Pallas row-stencil matvec measured against
+    its algorithmic HBM-bandwidth bound (BASELINE configs[4])."""
+    from vbicm_tpu.mesh import cooks_membrane_mesh
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.ops.stencil import make_stencil_affine_matvec
+    from vbicm_tpu.solver import make_fh_fun, make_two_level_solver
+    from vbicm_tpu.utils.roofline import compiled_costs, device_peaks, mfu_fields
+
+    nx, ny, B = 160, 80, 256
+    model = build_fem_model(cooks_membrane_mesh(nx, ny), dense=False)
+    coarse = build_fem_model(cooks_membrane_mesh(nx // 4, ny // 4), dense=True)
+    solve2l = make_two_level_solver(
+        model, coarse, nx // 4, ny // 4, 4,
+        cg_dtype=jnp.float32, refine_iters=1, tol=3e-3, maxiter=400,
+        use_stencil=True, coarse_f32_precision=jax.lax.Precision.DEFAULT,
+        refine_residual="compensated",
     )
+    fh = make_fh_fun(model, solve_free=solve2l)
+    fh_b = jax.jit(jax.vmap(fh))
+    thetas = jnp.asarray(np.random.default_rng(0).normal(size=(B, 2)))
+    y, _ = fh_b(thetas)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    y, _ = fh_b(thetas)
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+    fl, by = compiled_costs(jax.vmap(fh), thetas)
+    fields = {
+        "scaled2d_solves_per_sec": round(B / dt, 1),
+        "scaled2d_mesh": f"{nx}x{ny}",
+        "scaled2d_ndof": model.ndof,
+        "scaled2d_batch": B,
+    }
+    fields.update({f"scaled2d_{k}": v
+                   for k, v in mfu_fields(fl, by, 1.0 / dt).items()})
+
+    # raw stencil matvec vs its bandwidth bound. Algorithmic minimum HBM
+    # traffic per batched application: read u (B*ndof f32) + write out +
+    # read the 9-offset block tables once (shared across the batch; VMEM-
+    # resident rows inside the kernel). Speed-of-light time = bytes / peak.
+    affine, _, _ = make_stencil_affine_matvec(model, nx, ny)
+    c32 = jnp.asarray(np.random.default_rng(1).uniform(1, 2, (B, 2)), jnp.float32)
+    u32 = jnp.asarray(np.random.default_rng(2).normal(size=(B, model.ndof)),
+                      jnp.float32)
+    mv = jax.jit(jax.vmap(affine))
+    q = mv(c32, u32)
+    jax.block_until_ready(q)
+    n_it = 20
+    t0 = time.perf_counter()
+    for _ in range(n_it):
+        q = mv(c32, u32)
+    jax.block_until_ready(q)
+    dt_mv = (time.perf_counter() - t0) / n_it
+    NY, NX = ny + 1, nx + 1
+    min_bytes = 4.0 * (2 * B * model.ndof + 2 * NY * NX * 36)
+    _, peak_hbm = device_peaks()
+    achieved_gbs = min_bytes / dt_mv / 1e9
+    fields.update({
+        "stencil_matvec_ms": round(dt_mv * 1e3, 3),
+        "stencil_matvec_min_bytes": min_bytes,
+        "stencil_matvec_gbs": round(achieved_gbs, 1),
+        "stencil_bw_fraction": round(achieved_gbs / peak_hbm, 4),
+    })
+    return fields
+
+
+def _scaled_3d_fields():
+    """3-D 64x16x16 hex8 (56k dofs) B=64 batched box two-level solves/s
+    with roofline fields — beyond the reference (2-D only)."""
+    from vbicm_tpu.config import SectionCard
+    from vbicm_tpu.mesh.solid3d import beam_hex8_mesh
+    from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.solver import make_two_level_solver_box3d
+    from vbicm_tpu.utils.roofline import compiled_costs, mfu_fields
+
+    ncx, ncy, ncz, R, B = 16, 4, 4, 4, 64
+    sec = SectionCard(stype=4)
+    fine = build_fem_model(
+        beam_hex8_mesh(ncx * R, ncy * R, ncz * R, lx=4.0), sec, dense=False)
+    coarse = build_fem_model(beam_hex8_mesh(ncx, ncy, ncz, lx=4.0), sec,
+                             dense=True)
+    s = make_two_level_solver_box3d(
+        fine, coarse, (ncx, ncy, ncz), R,
+        cg_dtype=jnp.float32, refine_iters=2, tol=3e-3, maxiter=1500,
+        coarse_f32_precision=jax.lax.Precision.DEFAULT,
+        refine_residual="compensated",
+    )
+    rng = np.random.default_rng(0)
+    lams = jnp.asarray(rng.uniform(8, 16, B))
+    mus = jnp.asarray(rng.uniform(5, 10, B))
+    sv = jax.jit(jax.vmap(s))
+    u = sv(lams, mus)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    u = sv(lams, mus)
+    jax.block_until_ready(u)
+    dt = time.perf_counter() - t0
+    fl, by = compiled_costs(jax.vmap(s), lams, mus)
+    fields = {
+        "scaled3d_solves_per_sec": round(B / dt, 2),
+        "scaled3d_ndof": fine.ndof,
+        "scaled3d_batch": B,
+    }
+    fields.update({f"scaled3d_{k}": v
+                   for k, v in mfu_fields(fl, by, 1.0 / dt).items()})
+    return fields
 
 
 if __name__ == "__main__":
