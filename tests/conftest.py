@@ -24,6 +24,15 @@ if _PLATFORM == "cpu":
     # var alone is not enough — force CPU explicitly so tests run on the
     # virtual 8-device CPU mesh regardless of the TPU tunnel.
     jax.config.update("jax_platforms", "cpu")
+else:
+    # On-chip lane: compiles go through the axon remote-compile relay
+    # (30-300 s cold); the persistent cache makes warm lane runs <2 min.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402

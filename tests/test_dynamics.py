@@ -1,5 +1,6 @@
 """Newmark transient dynamics: modal-exact free vibration, energy
 conservation, Rayleigh decay, and the static long-time limit."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,6 +102,7 @@ def test_initial_acceleration_f0_override():
     assert float(jnp.max(jnp.abs(us0[0]))) < float(jnp.max(jnp.abs(us_default[0])))
 
 
+@pytest.mark.slow
 def test_finite_strain_newmark_linear_limit_and_equilibrium():
     """Nonlinear (Neo-Hookean) implicit Newmark: reproduces the linear
     integrator in the small-amplitude limit, and holds a finite-strain

@@ -313,6 +313,7 @@ def test_hmc_fem_posterior_matches_metropolis(cooks_model):
     assert 0.5 < hs[:, 0].std() / ms[:, 0].std() < 2.0
 
 
+@pytest.mark.slow
 def test_comparison_pipeline_all_posterior_families():
     """The comparison surfaces (kld_maps / mean_sig_fields) run for every
     posterior family — meanfield, fullcov, flow — through the

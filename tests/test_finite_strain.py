@@ -3,6 +3,7 @@ small-strain limit against the linear solver, analytic Cauchy stress, and
 implicit-adjoint gradients vs finite differences."""
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -174,6 +175,7 @@ def test_newton_converges_at_moderate_load():
     assert 0.005 < gap < 1.0
 
 
+@pytest.mark.slow
 def test_implicit_adjoint_gradients():
     mesh = beam_hex8_mesh(3, 2, 2, lx=3.0, tip_force=(0.0, 0.0, -0.05))
     model = build_fem_model(mesh, SectionCard(intp=2, stype=4))

@@ -214,6 +214,7 @@ def test_mixed_precision_cg(cooks_mesh):
     assert rel < 1e-9, rel
 
 
+@pytest.mark.slow
 def test_quad9_end_to_end():
     """Biquadratic Cook's membrane: SPD system, consistent load, and the
     q9 solution at matched dof count is MORE accurate than q4 (classic
@@ -261,6 +262,7 @@ def test_quad9_differentiable():
     np.testing.assert_allclose(float(gy[0]), -0.1 * float(jnp.sum(y)), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_quad8_end_to_end():
     """8-node serendipity elements: load balance and accuracy between q4
     and q9 at comparable resolution."""
@@ -279,6 +281,7 @@ def test_quad8_end_to_end():
     assert abs(uy8 - uy_ref) / abs(uy_ref) < 0.03, (uy8, uy_ref)
 
 
+@pytest.mark.slow
 def test_quad16_end_to_end():
     """Bicubic Lagrange elements (reference ``shp2dc`` capability,
     src/fem_preprocess.py:973-1033): load balance, p-refinement accuracy
@@ -315,6 +318,7 @@ def test_quad16_end_to_end():
     np.testing.assert_allclose(float(gy[0]), -0.1 * float(jnp.sum(y)), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_quad12_end_to_end():
     """12-node cubic serendipity elements (reference ``shp2ds`` capability,
     src/fem_preprocess.py:1035-1120): load balance + close to the q16
@@ -412,6 +416,7 @@ def test_body_force_consistent_load(cooks_mesh):
     np.testing.assert_allclose(fb9[1::2].sum(), by * 1440.0 * 10.0, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_tri3_end_to_end():
     """3-node triangles (reference shp2d nel=3 collapsed-quad path —
     which CRASHES in the reference: its shp buffer is sized (3, nel) but

@@ -31,6 +31,7 @@ def test_laplace_exact_on_linear_gaussian():
     np.testing.assert_allclose(res.cov, SIGMA, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_laplace_through_field_solver():
     """End-to-end through the differentiable FEM field solve: L-BFGS
     converges, the Hessian (forward-over-reverse through the adjoint VJP)

@@ -54,6 +54,7 @@ def test_softening_material_converges_and_softens(small_model):
     assert uy_nl < uy_l * 3.0  # but not blown up
 
 
+@pytest.mark.slow
 def test_gradients_through_converged_state(small_model):
     """d(tip uy)/d(lam, mu) by the implicit adjoint vs central differences."""
     solver = make_nonlinear_solver(small_model, m=0.6, g0=0.03)
@@ -70,6 +71,7 @@ def test_gradients_through_converged_state(small_model):
     np.testing.assert_allclose(float(gmu), fd_mu, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_vmap_over_materials(small_model):
     """The nonlinear solve is vmap-able over a material batch (the posterior
     -sample axis of the VI pipeline)."""
@@ -81,6 +83,7 @@ def test_vmap_over_materials(small_model):
     np.testing.assert_allclose(np.asarray(us), np.asarray(ref), rtol=1e-7, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_load_stepping_tracks_softening_path(small_model):
     """m=0.5, g0=0.02 saturates (limit load ~55% of the applied force):
     cold full-load Newton diverges — correctly, no equilibrium exists there
@@ -106,6 +109,7 @@ def test_load_stepping_tracks_softening_path(small_model):
     assert np.isfinite(np.asarray(res.u)).all()
 
 
+@pytest.mark.slow
 def test_arclength_traces_limit_load_path(small_model):
     """Cylindrical arc-length continuation (reference arclen card — cards
     only, no implementation there): traces the saturating-secant softening

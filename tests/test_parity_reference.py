@@ -124,6 +124,7 @@ def test_short_training_reaches_reference_level(harness, cooks_model):
 
 
 @needs_ref
+@pytest.mark.slow
 def test_step2_training_on_reference_targets_pins_residual(harness, cooks_model):
     """Round-2 verdict item 2 (the decisive experiment, scaled for CI):
     training OUR step 2 against the REFERENCE'S OWN shipped temp_data.mat

@@ -101,7 +101,6 @@ def cooks_model():
     return build_fem_model(cooks_membrane_mesh(8, 4), dense=True)
 
 
-@pytest.mark.tpu_lane
 def test_elastic_limit_matches_linear(cooks_model):
     """sig_y -> huge: the full incremental machinery reproduces the linear
     elastic solve (scipy partitioned oracle) to machine precision."""
@@ -189,6 +188,7 @@ def _shear_curve(gamma_max, n_steps, mat):
     return gammas, np.asarray(taus), model, state
 
 
+@pytest.mark.slow
 def test_shear_hardening_slope():
     """Monotonic simple shear: elastic slope mu, yield at tau_y = sig_y/sqrt(3),
     then the closed-form elastoplastic slope mu*H/(H + 3 mu)."""
@@ -210,6 +210,7 @@ def test_shear_hardening_slope():
     )
 
 
+@pytest.mark.slow
 def test_kinematic_equals_isotropic_monotonic():
     """Under MONOTONIC proportional loading, linear kinematic and linear
     isotropic hardening with the same modulus give the same stress curve."""
@@ -222,6 +223,7 @@ def test_kinematic_equals_isotropic_monotonic():
     np.testing.assert_allclose(tau_i, tau_k, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_bauschinger_effect():
     """Load to plastic shear then REVERSE to the opposite strain: the
     kinematic-hardening material re-yields earlier (back-stress translation)
@@ -251,6 +253,7 @@ def test_bauschinger_effect():
     assert a_kin > a_iso * 1.05
 
 
+@pytest.mark.slow
 def test_unload_irreversibility(cooks_model):
     """Cook's membrane loaded into the plastic range then force-unloaded:
     permanent deformation remains; the same cycle at elastic sig_y returns
@@ -269,6 +272,7 @@ def test_unload_irreversibility(cooks_model):
     assert float(jnp.linalg.norm(res_e.u)) < 1e-10
 
 
+@pytest.mark.slow
 def test_dissipation_nonnegative(cooks_model):
     d = plastic_dissipation(
         cooks_model,
@@ -291,6 +295,7 @@ def small_model():
     return build_fem_model(cooks_membrane_mesh(4, 2), dense=True)
 
 
+@pytest.mark.slow
 def test_parameter_gradients_fd(small_model):
     """Gradients of a response functional through the FULL path-dependent
     history (3 steps + unload, scan of custom-VJP Newton solves) against
@@ -323,6 +328,7 @@ def test_parameter_gradients_fd(small_model):
     assert abs(float(g[0])) > 1e-8  # sig_y actually matters (plastic regime)
 
 
+@pytest.mark.slow
 def test_fh_plasticity_gradients_vs_fd(small_model):
     """theta-gradients of the elastoplastic observation operator (through
     the scan of custom-VJP Newton steps) against central finite
@@ -355,6 +361,7 @@ def test_fh_plasticity_gradients_vs_fd(small_model):
     assert np.abs(g).min() > 1e-8  # both parameters observable
 
 
+@pytest.mark.slow
 def test_two_step_vi_through_plasticity(small_model):
     """End-to-end amortized VI: dataset generated by the elastoplastic
     forward model, both steps trained THROUGH the load-history scan."""
@@ -378,6 +385,7 @@ def test_two_step_vi_through_plasticity(small_model):
     assert res.hist_step2[-1] < res.hist_step2[0]
 
 
+@pytest.mark.slow
 def test_plasticity_3d_hex8():
     """The SAME J2 machinery on a 3-D hex8 cantilever (stype=4, 6 strain
     rows): elastic-limit parity with the linear 3-D solve, real yielding at
@@ -412,6 +420,7 @@ def test_plasticity_3d_hex8():
     np.testing.assert_allclose(float(g), fd, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_two_level_preconditioned_plasticity():
     """Elastic two-level preconditioner on the elastoplastic tangent CG
     (structured 16x8 Cook's, coarse 8x4): identical converged history to
@@ -432,6 +441,7 @@ def test_two_level_preconditioned_plasticity():
     )
 
 
+@pytest.mark.slow
 def test_vmap_material_batch(small_model):
     """vmap over a batch of yield stresses == per-sample loop (batched
     while_loop solves through the scan)."""

@@ -122,6 +122,7 @@ def test_field_map_inversion_recovers_truth(small_model, kl):
     assert np.abs(np.log(E_t) - np.log(E_true)).mean() < 1e-3
 
 
+@pytest.mark.slow
 def test_vi_through_field_model_smoke(small_model, kl):
     """Amortized two-step VI with theta_dim=6, y_dim=20 — every layer
     (datagen, ELBO, nets, bridge, step 2) is dimension-generic."""
@@ -298,6 +299,7 @@ def test_field_fh_3d_smoke_and_grad(box_model):
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_mean_field_preconditioner_box3d_parity():
     """3-D mean-field two-level preconditioned field solve == Jacobi-CG on
     a structured box, values and theta-gradients."""
@@ -377,6 +379,7 @@ def test_posterior_field_moments_and_xdmf_cell_fields(tmp_path, small_model, kl)
 # ---------------------------------------------------------------- field ROM
 
 
+@pytest.mark.slow
 def test_field_rom_certified_and_matches_full(small_model, kl):
     """Certified field RB-ROM == the full-order field solve, values and
     theta-gradients, on fresh prior draws (the affine-in-E reduction needs

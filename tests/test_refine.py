@@ -30,6 +30,7 @@ def test_refine_recovers_exact_posterior_from_collapsed_init():
     assert float(losses[-100:].mean()) < float(losses[:100].mean())
 
 
+@pytest.mark.slow
 def test_refine_field_posterior_matches_laplace():
     """Through the FEM field solver: the refined q matches the Laplace
     approximation of the same log-posterior (near-Gaussian target) in both
@@ -71,3 +72,21 @@ def test_refine_field_posterior_matches_laplace():
     assert np.all(zgap < 0.6), (zgap, la_std)
     ratio = vi_std / la_std
     assert np.all(ratio > 0.7) and np.all(ratio < 1.4), ratio
+
+
+def test_refine_chunked_matches_monolithic():
+    """chunk_steps carries the optimizer state and the lr schedule's step
+    count across device programs, so the trajectory is IDENTICAL to the
+    single-scan form (same keys, same updates) — including a tail chunk
+    that does not divide steps evenly."""
+    f = lambda th: jnp.tanh(th) * jnp.asarray([2.0, -1.0])
+    batch_f = lambda th: f(th)
+    y = jnp.asarray([0.8, -0.2])
+    kw = dict(key=jax.random.PRNGKey(3), steps=50, ne=4, lr=5e-2)
+    mu0, L0 = jnp.zeros(2), 0.4 * jnp.eye(2)
+    mu_a, L_a, h_a = refine_posterior(batch_f, y, 0.05, mu0, L0, **kw)
+    mu_b, L_b, h_b = refine_posterior(batch_f, y, 0.05, mu0, L0,
+                                      chunk_steps=15, **kw)
+    np.testing.assert_allclose(np.asarray(mu_b), np.asarray(mu_a), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(L_b), np.asarray(L_a), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(h_b), np.asarray(h_a), atol=1e-10)

@@ -36,6 +36,7 @@ def test_sharded_batch_fh_matches_single(cooks_model, mesh):
     np.testing.assert_allclose(np.asarray(h_s), np.asarray(h_ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sharded_training_step_matches_single(cooks_model, mesh):
     """One epoch of step-1 training, sharded vs unsharded, same key."""
     fh = make_fh_fun(cooks_model)
@@ -71,6 +72,7 @@ def test_matrix_free_solver_under_mesh(cooks_mesh, mesh):
     np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_ref), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_element_sharded_solver(cooks_mesh, mesh):
     """Domain-decomposed CG: element shards + psum == dense solve; grads too."""
     from vbicm_tpu.model import build_fem_model
@@ -98,6 +100,7 @@ def test_element_sharded_solver(cooks_mesh, mesh):
         np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_two_level_solver_accuracy_and_grad(cooks_mesh):
     """Two-level (spectral-coarse) preconditioned CG on a refined mesh:
     matches the dense answer; gradient matches FD. (Small 40x20 fine mesh
@@ -182,6 +185,7 @@ def test_2d_mesh_sample_by_element_sharding(cooks_mesh):
     np.testing.assert_allclose(us, ref, rtol=1e-10, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_training_step_with_dd_sharded_inner_solve(cooks_mesh):
     """Round-2 verdict item 4: a step-1 TRAINING step whose inner FEM solve
     is element-sharded on a hybrid (data x dd) mesh — the custom-VJP CG

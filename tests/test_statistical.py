@@ -100,6 +100,7 @@ def test_predictive_vs_mcmc_posterior_predictive(trained):
     np.testing.assert_allclose(zm, logz_mc, atol=0.25)
 
 
+@pytest.mark.slow
 def test_posterior_accuracy_vs_mcmc_quantified(cooks_model):
     """Quantified, reference-anchored posterior accuracy (round-1 review
     item: pin VI vs MCMC with real tolerances).

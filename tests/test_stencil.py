@@ -193,6 +193,7 @@ def test_two_level_solver_compensated_refinement():
     np.testing.assert_allclose(u_c, u_ref, atol=1e-9 * scale)
 
 
+@pytest.mark.slow
 def test_two_level_solver_vcycle_matches_f64():
     """Multiplicative V(1,1) cycle: same answer, SPD-safe under vmap."""
     nxc, nyc, ratio = NX // 2, NY // 2, 2
@@ -218,7 +219,7 @@ def test_two_level_solver_vcycle_matches_f64():
         np.testing.assert_allclose(ub[i], ui, atol=1e-8 * np.abs(ui).max())
 
 
-@pytest.mark.tpu_lane
+@pytest.mark.slow
 def test_batched_two_level_solver_matches_vmapped():
     """The natively-batched two-level CG (scalar alpha/beta freezing,
     z-eliminated preconditioner fold) against the vmapped production
@@ -267,6 +268,7 @@ def test_batched_two_level_solver_matches_vmapped():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fh_fun_batched_matches_vmapped_fh():
     """make_fh_fun_batched over the batched solver == vmap(make_fh_fun)
     over the vmapped solver, values and theta-gradients."""
@@ -323,6 +325,7 @@ def test_conv_transfer_equals_reshape_transfers():
         )
 
 
+@pytest.mark.slow
 def test_two_level_stencil_solver_matches_element_path():
     nxc, nyc, ratio = NX // 2, NY // 2, 2
     model = build_fem_model(cooks_membrane_mesh(NX, NY), dense=False)
@@ -357,6 +360,7 @@ def test_two_level_stencil_solver_matches_element_path():
     assert np.max(np.abs(u_sp - u_el)) < 1e-4 * scale
 
 
+@pytest.mark.slow
 def test_three_level_solver_matches_dense():
     """Three-level telescope (fine Jacobi + mid Jacobi + spectral coarse):
     values + gradients vs the dense solver, and the mixed-precision batched
@@ -444,6 +448,7 @@ def test_matmul_transfer_equals_conv_transfers():
     )
 
 
+@pytest.mark.slow
 def test_dense_coarse_correction_and_solver_path():
     """The folded two-matmul coarse correction == restrict -> spectral
     coarse solve -> prolong, and the transfer='dense' solver matches."""
@@ -490,6 +495,7 @@ def test_dense_coarse_correction_and_solver_path():
         assert abs(float(a) - float(b)) < 1e-3 * max(1.0, abs(float(b)))
 
 
+@pytest.mark.slow
 def test_two_step_training_through_fh_batch():
     """TwoStepTrainer(fh_batch=...) — the full two-step fit through the
     natively-batched solver, against the same fit through vmap(fh) over the

@@ -1,6 +1,7 @@
 """3-D structured-grid machinery: 27-point block stencil == assembled
 operator, trilinear transfer exactness/adjointness, and the box two-level
 solver vs the dense solve (values + gradients)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,6 +80,7 @@ def test_grid_transfer_3d_exact_on_trilinear_fields_and_adjoint():
     )
 
 
+@pytest.mark.slow
 def test_two_level_box3d_matches_dense_solver():
     fine, coarse = _models()
     dense_fine = build_fem_model(
@@ -185,6 +187,7 @@ def test_compensated_residual_3d_f64_grade():
     np.testing.assert_allclose(np.asarray(r), np.asarray(r64), atol=1e-12 * scale)
 
 
+@pytest.mark.slow
 def test_box3d_solver_compensated_refinement():
     from vbicm_tpu.solver import make_two_level_solver_box3d
 
@@ -204,6 +207,7 @@ def test_box3d_solver_compensated_refinement():
     np.testing.assert_allclose(u_c, u_ref, atol=1e-9 * scale)
 
 
+@pytest.mark.slow
 def test_box3d_solver_vcycle_matches():
     from vbicm_tpu.solver import make_two_level_solver_box3d
 

@@ -65,6 +65,7 @@ def test_umat_parameter_gradients_match_fd(model):
     np.testing.assert_allclose(float(gmu), float(fd_mu), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_j2_deformation_material(model):
     """The shipped J2 demo: H = 3 mu is exactly linear; low yield stress
     softens the structure (larger tip displacement) and the parameter

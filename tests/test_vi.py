@@ -218,7 +218,7 @@ def test_load_reference_dataset():
     assert abs(ds.y_data.mean()) < 10
 
 
-@pytest.mark.tpu_lane
+@pytest.mark.slow
 def test_two_step_training_smoke(cooks_model, small_fem_data):
     """Short run: both losses must decrease (BASELINE configs[2/3] smoke)."""
     ds = small_fem_data
@@ -235,6 +235,7 @@ def test_two_step_training_smoke(cooks_model, small_fem_data):
     assert mse < 1.0
 
 
+@pytest.mark.slow
 def test_two_step_training_resample_clip_smoke(cooks_model, small_fem_data):
     """resample_e + clip_grad_norm exercise the per-step key threading
     (scan path AND remainder batch) and the chained-optimizer lr access."""

@@ -3,6 +3,7 @@ layer is ndm-generic (y = 3-dof displacement probe, z = von Mises at hex
 quadrature points). Nothing comparable exists in the reference (2-D only)."""
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ from vbicm_tpu.solver import make_fh_fun
 from vbicm_tpu.vi.train import TwoStepTrainer
 
 
+@pytest.mark.slow
 def test_two_step_vi_on_hex_beam():
     model = build_fem_model(
         beam_hex8_mesh(4, 2, 2, lx=4.0), SectionCard(stype=4), dense=True

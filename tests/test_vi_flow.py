@@ -84,6 +84,7 @@ def test_flow_logq_change_of_variables():
     assert abs(float(logq[0, 0]) - expected) < 1e-10
 
 
+@pytest.mark.slow
 def test_flow_two_step_end_to_end():
     """fit() for posterior='flow' runs step 1 + bridge + step 2 and every
     eval surface (predict moments, family-agnostic sampling, export)."""

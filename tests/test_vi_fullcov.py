@@ -120,6 +120,7 @@ def test_fullcov_net_shapes_and_meanfield_init():
     )
 
 
+@pytest.mark.slow
 def test_fullcov_trainer_end_to_end():
     """TwoStepTrainer(posterior="fullcov") end-to-end on a correlated
     linear map: both steps run, bridge samples through L, predict returns

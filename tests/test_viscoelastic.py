@@ -193,6 +193,7 @@ def test_fh_viscoelastic_shapes_and_creep(model):
     assert (np.diff(uy) > 0).all()
 
 
+@pytest.mark.slow
 def test_fh_viscoelastic_gradients_vs_fd(model):
     """theta-gradients through the whole lax.scan of spectral affine solves
     against central finite differences; both Prony parameters observable."""
@@ -223,6 +224,7 @@ def test_fh_viscoelastic_gradients_vs_fd(model):
     assert np.abs(g).min() > 1e-8  # both parameters observable
 
 
+@pytest.mark.slow
 def test_two_step_vi_through_viscoelasticity(model):
     """End-to-end amortized VI: dataset generated by the Maxwell creep
     forward model, both steps trained THROUGH the time-integration scan —
