@@ -42,6 +42,7 @@ def refine_posterior(
     steps: int = 300,
     ne: int = 8,
     lr: float = 5e-3,
+    chunk_steps: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Refine one observation's full-covariance posterior by direct SVI.
 
@@ -86,9 +87,7 @@ def refine_posterior(
     opt = optax.adam(sched)
 
     @jax.jit
-    def run(params, key):
-        opt_state = opt.init(params)
-
+    def run_chunk(params, opt_state, keys):
         def body(carry, k):
             p, o = carry
 
@@ -102,10 +101,28 @@ def refine_posterior(
             up, o = opt.update(g, o, p)
             return (optax.apply_updates(p, up), o), loss
 
-        (params, _), losses = jax.lax.scan(
-            body, (params, opt_state), jax.random.split(key, steps)
-        )
-        return params, losses
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, losses
 
-    (mu, log_diag, off), losses = run(params0, key)
+    # chunk_steps > 0 bounds the runtime of each device program by scanning
+    # chunk-wise with a host loop between (optimizer state and the lr
+    # schedule's step count carry across chunks, so the trajectory is
+    # IDENTICAL to the single-scan form). Needed for very expensive
+    # forward models: a single 10^3-step scan whose body is itself an
+    # iterative solve can run long enough to trip the TPU worker
+    # (observed with the 3-D Pallas-stencil solver: "TPU worker process
+    # crashed or restarted" on a 1500-step monolithic scan).
+    all_keys = jax.random.split(key, steps)
+    params, opt_state = params0, opt.init(params0)
+    if chunk_steps and chunk_steps < steps:
+        parts = []
+        for s in range(0, steps, chunk_steps):
+            params, opt_state, lp = run_chunk(
+                params, opt_state, all_keys[s : s + chunk_steps])
+            parts.append(lp)
+        losses = jnp.concatenate(parts)
+    else:
+        params, opt_state, losses = run_chunk(params, opt_state, all_keys)
+    mu, log_diag, off = params
     return mu, build_L(log_diag, off), losses

@@ -65,6 +65,10 @@ class TrainResult:
     hist_step2: np.ndarray
     logz_mean_post: np.ndarray
     logz_sig_post: np.ndarray
+    # wall time per epoch (host-observed); epoch 0 includes the compile,
+    # so steady-state throughput = steps / sum(times[1:])
+    epoch_times_step1: Any = None
+    epoch_times_step2: Any = None
 
 
 def _batches(n, batch_size):
@@ -273,6 +277,7 @@ class TwoStepTrainer:
         full-state checkpoint under ``results_path/step1`` if present.
         """
         t = self.tcfg
+        self._epoch_times_step1 = []
         num_epochs = num_epochs if num_epochs is not None else t.num_epoch1
         y_data = jnp.asarray(y_data, self.dtype)
         e_data = jnp.asarray(e_data, self.dtype)
@@ -362,6 +367,7 @@ class TwoStepTrainer:
                 params, opt_state, loss_val = step(
                     params, opt_state, self._maybe_shard(yb), e_keys[n_full])
             loss_val = float(loss_val)
+            self._epoch_times_step1.append(time.time() - tic)
             if self.verbose:
                 print(f"[step1] epoch {epoch}: loss {loss_val:.6f} ({time.time()-tic:.2f}s)")
             if (epoch + 1) % save_freq == 0:
@@ -424,6 +430,7 @@ class TwoStepTrainer:
         step 2 from scratch, ``main_custom_training.py:416-434``).
         """
         t = self.tcfg
+        self._epoch_times_step2 = []
         num_epochs = num_epochs if num_epochs is not None else t.num_epoch2
         y_data = jnp.asarray(y_data, self.dtype)
         e_data = jnp.asarray(e_data, self.dtype)
@@ -534,6 +541,7 @@ class TwoStepTrainer:
                     e_keys[n_full],
                 )
             loss_val = float(loss_val)
+            self._epoch_times_step2.append(time.time() - tic)
             if self.verbose:
                 print(f"[step2] epoch {epoch}: loss {loss_val:.3e} ({time.time()-tic:.2f}s)")
             if (epoch + 1) % save_freq == 0:
@@ -578,6 +586,8 @@ class TwoStepTrainer:
             hist_step2=hist2,
             logz_mean_post=lm_post,
             logz_sig_post=ls_post,
+            epoch_times_step1=list(self._epoch_times_step1),
+            epoch_times_step2=list(self._epoch_times_step2),
         )
 
     # ------------------------------------------------------------------
