@@ -31,6 +31,15 @@ def main():
     ap.add_argument("--n-steps", type=int, default=5, help="load increments")
     ap.add_argument("--sig-y0", type=float, default=0.2, help="median yield stress")
     ap.add_argument("--H0", type=float, default=2.0, help="median hardening modulus")
+    ap.add_argument("--two-level", action="store_true",
+                    help="elastic two-level preconditioner for every Newton "
+                         "CG (scaled structured meshes, e.g. --nx 80 --ny 40)")
+    ap.add_argument("--ratio", type=int, default=4,
+                    help="fine/coarse grid ratio for --two-level")
+    ap.add_argument("--cg-tol", type=float, default=1e-10)
+    ap.add_argument("--n-validate", type=int, default=4,
+                    help="held-out observations refined + compared to the "
+                         "amortized posterior")
     ap.add_argument("--results", type=str, default="results_vi_plasticity")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -49,13 +58,31 @@ def main():
     from vbicm_tpu.vi.train import TwoStepTrainer
 
     print(f"backend: {jax.default_backend()}")
-    model = build_fem_model(cooks_membrane_mesh(args.nx, args.ny), dense=True)
+    build_t0 = time.time()
+    # matrix-free beyond ~1k elements: the Newton CG runs on element-level
+    # HVPs either way, dense only feeds the Jacobi diagonal precompute
+    dense = args.nx * args.ny <= 800
+    model = build_fem_model(cooks_membrane_mesh(args.nx, args.ny), dense=dense)
     # probe ids scaled to the coarser default mesh (node/element counts differ
     # from the 20x10 reference card)
     cfg = ProblemConfig(node_id=model.nnodes, ele_id=model.nele // 2)
+    step_kw = {"cg_tol": args.cg_tol}
+    if args.two_level:
+        from vbicm_tpu.ops.plasticity import make_elastic_two_level_precond
+
+        ncx, ncy = args.nx // args.ratio, args.ny // args.ratio
+        coarse = build_fem_model(cooks_membrane_mesh(ncx, ncy), dense=True)
+        step_kw["precond"] = make_elastic_two_level_precond(
+            model, coarse, ncx, ncy, args.ratio
+        )
     fh = make_fh_fun_plasticity(
-        model, cfg, sig_y0=args.sig_y0, H0=args.H0, n_steps=args.n_steps
+        model, cfg, sig_y0=args.sig_y0, H0=args.H0, n_steps=args.n_steps,
+        **step_kw,
     )
+    build_s = time.time() - build_t0
+    print(f"model ({model.ndof} dofs"
+          f"{', elastic two-level precond' if args.two_level else ''}) "
+          f"in {build_s:.1f}s")
 
     t0 = time.time()
     ds = generate_data_fem(
@@ -85,6 +112,36 @@ def main():
     print(f"final step1 loss: {res.hist_step1[-1]:.6f}")
     print(f"final step2 loss: {res.hist_step2[-1]:.3e}")
 
+    # posterior sanity: per-observation SVI refinement (the exact posterior
+    # up to refinement tolerance) from the amortized init — amortized mean
+    # must sit within ~a posterior std of the refined mean
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vbicm_tpu.vi.refine import refine_posterior
+
+    batch_f = lambda th: jax.vmap(fh)(th)[0]
+    validations = []
+    for i in range(args.n_validate):
+        y_obs = ds.y_data[i]
+        tm, tsg, _, _ = trainer.predict(res.theta_params, res.z_params,
+                                        y_obs[None])
+        mu, L, _ = refine_posterior(
+            batch_f, jnp.asarray(y_obs), cfg.sig_e, jnp.asarray(tm[0]),
+            jnp.diag(jnp.sqrt(jnp.asarray(tsg[0]))),
+            key=jax.random.PRNGKey(100 + i), steps=1500, ne=16, lr=1e-2,
+        )
+        std_r = np.sqrt(np.diag(np.asarray(L @ L.T)))
+        zgap = np.abs(np.asarray(tm[0]) - np.asarray(mu)) / std_r
+        validations.append({
+            "amortized_mean": np.asarray(tm[0]).tolist(),
+            "refined_mean": np.asarray(mu).tolist(),
+            "refined_std": std_r.tolist(),
+            "zgap_amortized": zgap.tolist(),
+        })
+        print(f"obs {i}: amortized {validations[-1]['amortized_mean']} "
+              f"refined {validations[-1]['refined_mean']} zgap {zgap}")
+
     import os
 
     os.makedirs(args.results, exist_ok=True)
@@ -92,11 +149,14 @@ def main():
         json.dump(
             {
                 "config": vars(args),
+                "ndof": model.ndof,
+                "build_s": round(build_s, 1),
                 "datagen_s": round(datagen_s, 1),
                 "train_s": round(train_s, 1),
                 "train_steps_per_sec": round(n_steps / train_s, 3),
                 "step1_last": float(res.hist_step1[-1]),
                 "step2_last": float(res.hist_step2[-1]),
+                "validation_vs_refined": validations,
             },
             f, indent=1,
         )
