@@ -132,6 +132,13 @@ class TrainConfig:
     # update sequence; ~2x wall-clock on TPU where the B=64 step is
     # dispatch-bound). The remainder batch still runs as a single step.
     scan_epochs: bool = True
+    # With scan_epochs: cap each device program to this many scanned batches
+    # (0 = whole epoch in one scan). Host loop between chunks, optimizer
+    # state carried — the update trajectory is IDENTICAL; only program
+    # length changes. Set for very expensive per-batch forward models
+    # (hundreds of inner CG iterations per step): monolithic epoch scans
+    # there can trip the TPU worker (docs/KNOWN_ISSUES.md).
+    scan_chunk: int = 0
     # Optional global-norm gradient clip (optax.clip_by_global_norm) applied
     # before Adam in BOTH steps. None (default) = reference parity (no
     # clipping). Sharp-likelihood problems (small sig_e, many probes — the

@@ -529,14 +529,39 @@ def _element_geometry_3d(coords, conn, qpts, qwts):
     conn = np.asarray(conn)
     nele, nel = conn.shape
     nqpt = qpts.shape[0]
-    fn = shape_natural_3d(nel)
     xl = np.asarray(coords)[conn]  # (nele, nel, 3)
+
+    # Pure-NumPy trilinear derivatives for all qpts at once: evaluating the
+    # jnp shape closure per-qpt costs ~150 eager device ops, which over the
+    # axon tunnel dominated the 3-D model build (measured ~19 min at
+    # 32x8x8 before this host-side path; <1 s after).
+    if nel == 8:
+        from .ops.shape import _HEX_XI as s, _HEX_ETA as t, _HEX_ZETA as r
+
+        xi = np.asarray(qpts[:, 0])[:, None]
+        eta = np.asarray(qpts[:, 1])[:, None]
+        zeta = np.asarray(qpts[:, 2])[:, None]
+        dn_all = np.stack(
+            [
+                0.125 * s * (1.0 + t * eta) * (1.0 + r * zeta),
+                0.125 * t * (1.0 + s * xi) * (1.0 + r * zeta),
+                0.125 * r * (1.0 + s * xi) * (1.0 + t * eta),
+            ],
+            axis=2,
+        )  # (nqpt, nel, 3)
+    else:  # pragma: no cover - no other 3-D family yet
+        fn = shape_natural_3d(nel)
+        dn_all = np.stack(
+            [
+                np.asarray(fn(float(q[0]), float(q[1]), float(q[2]))[1])
+                for q in np.asarray(qpts)
+            ]
+        )
 
     B = np.zeros((nele, nqpt, 6, 3 * nel))
     dvol = np.zeros((nele, nqpt))
     for q in range(nqpt):
-        _, dn_nat_j = fn(float(qpts[q, 0]), float(qpts[q, 1]), float(qpts[q, 2]))
-        dn_nat = np.asarray(dn_nat_j)  # (nel, 3)
+        dn_nat = dn_all[q]  # (nel, 3)
         J = np.einsum("na,enb->eab", dn_nat, xl)  # (nele, 3, 3)
         detj = np.linalg.det(J)
         if (detj <= 0.0).any():

@@ -160,10 +160,12 @@ def make_stencil_affine_matvec(model, nx: int, ny: int, *, use_pallas: bool = Tr
     # Kernel VMEM blocks scale with the batch: each of the three u-row views
     # is a (B, XLP) f32 block, double-buffered by the pipeline. Cap the
     # per-call batch so the scoped-VMEM stack stays well under the 16 MB
-    # limit (measured OOM at B=2048 on 160x80: 24 MB requested), and chunk
-    # larger batches through lax.map — the CG hot loop runs at B<=256, so
-    # this only triggers for bulk sweeps like dataset generation.
-    PALLAS_MAX_B = 512
+    # limit (measured OOM at B=2048 on 160x80: 24 MB requested; B=512 on
+    # 160x80 now sits 64 KB OVER the limit with the current libtpu — scoped
+    # 16.06 MB vs 16.00), and chunk larger batches through lax.map — the CG
+    # hot loop runs at B<=256, so this only triggers for bulk sweeps like
+    # dataset generation.
+    PALLAS_MAX_B = 256
 
     @affine.def_vmap
     def _vmap_rule(axis_size, in_batched, coeffs, u):

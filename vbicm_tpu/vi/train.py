@@ -353,10 +353,19 @@ class TwoStepTrainer:
                 yb_all = y_shuf[: n_full * t.batch_size].reshape(
                     n_full, t.batch_size, -1
                 )
-                params, opt_state, loss_val = epoch_scan(
-                    params, opt_state, self._maybe_shard_batched(yb_all),
-                    e_keys[:n_full],
-                )
+                # scan_chunk > 0 bounds each device program to that many
+                # batches (host loop between chunks; optimizer state carries,
+                # so the trajectory is IDENTICAL to the single scan). Very
+                # expensive fh's need this: a 156-step epoch scan whose body
+                # is 256 two-level CG solves can run long enough to trip the
+                # TPU worker (same failure class as vi.refine chunk_steps).
+                ck = t.scan_chunk if t.scan_chunk > 0 else n_full
+                for s in range(0, n_full, ck):
+                    params, opt_state, loss_val = epoch_scan(
+                        params, opt_state,
+                        self._maybe_shard_batched(yb_all[s : s + ck]),
+                        e_keys[s : min(s + ck, n_full)],
+                    )
             else:
                 for b in range(n_full):
                     yb = y_shuf[b * t.batch_size : (b + 1) * t.batch_size]
@@ -514,13 +523,18 @@ class TwoStepTrainer:
             if t.scan_epochs and n_full > 1:
                 cut = n_full * t.batch_size
                 rs = lambda a: a[:cut].reshape(n_full, t.batch_size, -1)
-                z_params, opt_state, loss_val = epoch_scan(
-                    z_params, opt_state,
-                    self._maybe_shard_batched(rs(y_s)),
-                    self._maybe_shard_batched(rs(lm_s)),
-                    self._maybe_shard_batched(rs(ls_s)),
-                    e_keys[:n_full],
-                )
+                yb_all, lm_all, ls_all = rs(y_s), rs(lm_s), rs(ls_s)
+                # see train_step1: chunked scanning bounds device-program
+                # time for expensive fh's, identical trajectory
+                ck = t.scan_chunk if t.scan_chunk > 0 else n_full
+                for s in range(0, n_full, ck):
+                    z_params, opt_state, loss_val = epoch_scan(
+                        z_params, opt_state,
+                        self._maybe_shard_batched(yb_all[s : s + ck]),
+                        self._maybe_shard_batched(lm_all[s : s + ck]),
+                        self._maybe_shard_batched(ls_all[s : s + ck]),
+                        e_keys[s : min(s + ck, n_full)],
+                    )
             else:
                 for b in range(n_full):
                     sl = slice(b * t.batch_size, (b + 1) * t.batch_size)
