@@ -108,8 +108,12 @@ def main():
         chunk=2048,
     )
     print(f"dataset in {time.time()-t0:.1f}s")
+    # scan_chunk: identical update trajectory, but each device program is
+    # ~39 batches instead of 156 — a monolithic epoch scan over the
+    # full-order two-level solver tripped the TPU worker here (observed
+    # 2026-08-20: "TPU worker process crashed" mid step-1)
     tcfg = TrainConfig(batch_size=64, num_epoch1=args.epochs1,
-                       num_epoch2=args.epochs2)
+                       num_epoch2=args.epochs2, scan_chunk=39)
 
     def train(fh_used, train_seed, tag):
         t0 = time.time()

@@ -105,7 +105,14 @@ def main():
                   n_samples=2000, burn=1000, n_chains=8, step_size=0.1)
         sam = res.samples.reshape(-1, 2)
         key = jax.random.PRNGKey(200 + int(i))
+        # rhat per dimension: theta1 enters only as theta1^2 (exact
+        # sign-symmetry), so chains legitimately split between the two
+        # mirror modes and theta1's split-R-hat diverges BY CONSTRUCTION;
+        # convergence of the comparison only needs theta2's rhat (all
+        # compared statistics below are theta2 / sign-invariant)
         row = {"y": float(y_obs[0]),
+               "hmc_rhat": np.asarray(res.rhat).ravel().tolist(),
+               "hmc_rhat_theta2": float(np.asarray(res.rhat).ravel()[1]),
                "hmc_rhat_max": float(np.max(res.rhat)),
                "hmc_mean": np.mean(sam, 0).tolist(),
                "hmc_std": np.std(sam, 0).tolist(),

@@ -133,11 +133,16 @@ def main():
         )
         std_r = np.sqrt(np.diag(np.asarray(L @ L.T)))
         zgap = np.abs(np.asarray(tm[0]) - np.asarray(mu)) / std_r
+        th_true = np.asarray(ds.theta_data[i])
         validations.append({
             "amortized_mean": np.asarray(tm[0]).tolist(),
             "refined_mean": np.asarray(mu).tolist(),
             "refined_std": std_r.tolist(),
             "zgap_amortized": zgap.tolist(),
+            "true_theta": th_true.tolist(),
+            "zgap_refined_to_truth": (
+                np.abs(np.asarray(mu) - th_true) / std_r
+            ).tolist(),
         })
         print(f"obs {i}: amortized {validations[-1]['amortized_mean']} "
               f"refined {validations[-1]['refined_mean']} zgap {zgap}")
