@@ -162,7 +162,7 @@ def main():
         mu_x, L_x, _ = refine_posterior(
             batch_f_rom, y_obs, cfg.sig_e, jnp.zeros(2), 0.3 * jnp.eye(2),
             key=jax.random.PRNGKey(1000 + int(i)), steps=args.refine_steps,
-            ne=16, lr=1e-2,
+            ne=16, lr=1e-2, chunk_steps=250,
         )
         std_x = np.sqrt(np.diag(np.asarray(L_x @ L_x.T)))
         rec = {
@@ -176,10 +176,13 @@ def main():
         # solve-level check on a few probes: refine through the FULL-ORDER
         # operator from the same init must land on the same exact mean
         if n < 3:
+            # chunked: a monolithic refine scan over the full-order
+            # two-level solver is the long-program class that crashes the
+            # TPU worker (docs/KNOWN_ISSUES.md)
             mu_xf, L_xf, _ = refine_posterior(
                 batch_f_full, y_obs, cfg.sig_e, jnp.zeros(2), 0.3 * jnp.eye(2),
                 key=jax.random.PRNGKey(1000 + int(i)),
-                steps=args.refine_steps, ne=16, lr=1e-2,
+                steps=args.refine_steps, ne=16, lr=1e-2, chunk_steps=250,
             )
             rec["exact_mean_fullorder_op"] = np.asarray(mu_xf).tolist()
             rec["operator_mean_gap_in_std"] = (
