@@ -127,6 +127,22 @@ def test_hex8_shape_identities():
         np.testing.assert_allclose(np.asarray(n2) @ xl, x, atol=1e-14)
 
 
+def test_hex8_host_dn_matches_shape_library():
+    """The host-side NumPy fast path (model._hex8_dn_host, used in the 3-D
+    geometry precompute) must agree with the jnp shape library — they share
+    only the sign constants, so a future edit to hex8_natural could silently
+    diverge (ADVICE r4)."""
+    from vbicm_tpu.model import _hex8_dn_host
+
+    rng = np.random.default_rng(3)
+    qpts = rng.uniform(-1.0, 1.0, (17, 3))
+    dn_host = _hex8_dn_host(qpts)
+    assert dn_host.shape == (17, 8, 3)
+    for q, p in enumerate(qpts):
+        _, dn = hex8_natural(*p)
+        np.testing.assert_allclose(dn_host[q], np.asarray(dn), atol=1e-14)
+
+
 def test_patch_test_linear_field_exact():
     """Prescribing an affine displacement on every boundary node reproduces
     the affine field and a CONSTANT stress exactly (the classical patch

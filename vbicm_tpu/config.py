@@ -138,6 +138,11 @@ class TrainConfig:
     # length changes. Set for very expensive per-batch forward models
     # (hundreds of inner CG iterations per step): monolithic epoch scans
     # there can trip the TPU worker (docs/KNOWN_ISSUES.md).
+    # Prefer a value that divides the epoch's full-batch count
+    # (n_sam // batch_size): a shorter final chunk compiles a SECOND
+    # epoch-scan executable per distinct length (one-time, per step) —
+    # harmless for cheap fh's, minutes for two-level-solver fh's. The
+    # update trajectory is identical either way.
     scan_chunk: int = 0
     # Optional global-norm gradient clip (optax.clip_by_global_norm) applied
     # before Adam in BOTH steps. None (default) = reference parity (no

@@ -521,6 +521,28 @@ def _ke_part_host(B, C, dvol):
     return np.matmul(Bf.transpose(0, 2, 1), CBw.reshape(nele, nqpt * nr, edof))
 
 
+def _hex8_dn_host(qpts):
+    """Pure-NumPy trilinear (hex8) natural derivatives at all quadrature
+    points at once: (nqpt, 8, 3). Must stay equal to the per-point jnp
+    closure ``ops.shape.hex8_natural`` (asserted by
+    ``tests/test_solid3d.py::test_hex8_host_dn_matches_shape_library``);
+    only the ``_HEX_*`` sign constants are shared."""
+    from .ops.shape import _HEX_XI as s, _HEX_ETA as t, _HEX_ZETA as r
+
+    qpts = np.asarray(qpts)
+    xi = qpts[:, 0][:, None]
+    eta = qpts[:, 1][:, None]
+    zeta = qpts[:, 2][:, None]
+    return np.stack(
+        [
+            0.125 * s * (1.0 + t * eta) * (1.0 + r * zeta),
+            0.125 * t * (1.0 + s * xi) * (1.0 + r * zeta),
+            0.125 * r * (1.0 + s * xi) * (1.0 + t * eta),
+        ],
+        axis=2,
+    )  # (nqpt, nel, 3)
+
+
 def _element_geometry_3d(coords, conn, qpts, qwts):
     """3-D solid B-matrix / dvol precompute: B (nele, nqpt, 6, 3*nel) with
     strain rows [e11, e22, e33, g12, g23, g31], dvol = detJ * w."""
@@ -536,19 +558,7 @@ def _element_geometry_3d(coords, conn, qpts, qwts):
     # axon tunnel dominated the 3-D model build (measured ~19 min at
     # 32x8x8 before this host-side path; <1 s after).
     if nel == 8:
-        from .ops.shape import _HEX_XI as s, _HEX_ETA as t, _HEX_ZETA as r
-
-        xi = np.asarray(qpts[:, 0])[:, None]
-        eta = np.asarray(qpts[:, 1])[:, None]
-        zeta = np.asarray(qpts[:, 2])[:, None]
-        dn_all = np.stack(
-            [
-                0.125 * s * (1.0 + t * eta) * (1.0 + r * zeta),
-                0.125 * t * (1.0 + s * xi) * (1.0 + r * zeta),
-                0.125 * r * (1.0 + s * xi) * (1.0 + t * eta),
-            ],
-            axis=2,
-        )  # (nqpt, nel, 3)
+        dn_all = _hex8_dn_host(qpts)
     else:  # pragma: no cover - no other 3-D family yet
         fn = shape_natural_3d(nel)
         dn_all = np.stack(
