@@ -8,14 +8,25 @@ is the flow's existence proof: the banana observable
     y = theta2 + a * theta1^2 + eps,   theta ~ N(0, I),  a = 2
 
 has a curved posterior ridge that NO Gaussian family can represent — and
-the flow tracks the HMC reference posterior's moments and quantiles where
-the trained full-covariance Gaussian measurably cannot.
+the flow tracks the EXACT posterior's moments and quantiles where the
+trained full-covariance Gaussian measurably cannot.
+
+The reference per observation is the exact posterior computed by
+deterministic quadrature (no sampling): fh is linear in theta2, so theta2
+integrates out analytically and a 1-D trapezoid quadrature over theta1
+remains — machine-precision exact, cross-checked against a brute-force 2-D
+grid. HMC (the reference package's MCMC role, ``postprocess_lib.py:90-103``)
+is kept as a secondary check but only on observations whose theta2
+split-R-hat < 1.05 (theta1's R-hat diverges BY CONSTRUCTION: exact
+sign-symmetry splits chains between mirror modes).
 
 Outputs results_flow/summary.json:
   * full-data ELBO of both trained families (lower = smaller KL to the
     true posterior — same data, same normalizer);
   * per-observation posterior mean/std/quantiles of flow vs fullcov vs the
-    HMC reference (vmapped chains, split-R-hat checked);
+    EXACT posterior (+ HMC where converged);
+  * calibration: family std / exact std per dimension — answers whether
+    the amortized families are overconfident, and by how much;
   * the step-2 lognormal predictive trained through the flow bridge.
 
 Run:  python examples/train_flow_vi.py [--quick]
@@ -41,6 +52,65 @@ def fh(theta):
     y = (theta[1] + A_BANANA * theta[0] ** 2)[None]
     h = (jnp.exp(0.3 * theta[0]) + 0.2)[None]
     return y, h
+
+
+def exact_posterior_stats(y, n1=100001, lim=6.0):
+    """EXACT posterior of theta | y by deterministic quadrature.
+
+    The observable is linear in theta2, so with likelihood variance SIG_E
+    and N(0, I) prior:
+        p(theta2 | theta1, y) = N(m(theta1), v),
+            v = 1 / (1/SIG_E + 1),   m(theta1) = v (y - a theta1^2) / SIG_E
+        p(theta1 | y) ∝ N(theta1; 0, 1) N(y; a theta1^2, SIG_E + 1)
+    leaving a 1-D quadrature over theta1 (uniform grid on [-lim, lim]).
+    Returns mean/std per dim and theta2 q10/q90 (CDF inverted by bisection).
+    Exact up to quadrature (h = 1.2e-4 against marginal width >= 0.1) —
+    cross-checked against a brute 2-D grid in ``exact_check_2d_grid``.
+    """
+    from scipy.special import ndtr  # standard normal CDF
+
+    y = float(np.asarray(y).ravel()[0])
+    t1 = np.linspace(-lim, lim, n1)
+    v = 1.0 / (1.0 / SIG_E + 1.0)
+    m = v * (y - A_BANANA * t1**2) / SIG_E
+    logw = -0.5 * t1**2 - 0.5 * (y - A_BANANA * t1**2) ** 2 / (SIG_E + 1.0)
+    w = np.exp(logw - logw.max())
+    w /= w.sum()
+    mean1 = float(w @ t1)  # ~0 by sign-symmetry
+    std1 = float(np.sqrt(max(w @ t1**2 - mean1**2, 0.0)))
+    mean2 = float(w @ m)
+    std2 = float(np.sqrt(v + max(w @ m**2 - mean2**2, 0.0)))
+
+    def cdf2(t):
+        return float(w @ ndtr((t - m) / np.sqrt(v)))
+
+    def quantile2(p):
+        lo, hi = m.min() - 8 * np.sqrt(v), m.max() + 8 * np.sqrt(v)
+        for _ in range(80):
+            mid = 0.5 * (lo + hi)
+            lo, hi = (lo, mid) if cdf2(mid) >= p else (mid, hi)
+        return 0.5 * (lo + hi)
+
+    return {"mean": [mean1, mean2], "std": [std1, std2],
+            "q10_theta2": quantile2(0.10), "q90_theta2": quantile2(0.90)}
+
+
+def exact_check_2d_grid(y, n=3001, lim=6.0):
+    """Brute-force 2-D grid posterior moments of theta2 — validates the
+    analytic theta2 collapse in ``exact_posterior_stats`` (the verdict's
+    literal 'grid quadrature' reference, kept as the cross-check)."""
+    y = float(np.asarray(y).ravel()[0])
+    t1 = np.linspace(-lim, lim, n)
+    t2 = np.linspace(-lim, lim, n)
+    # rows = theta1, cols = theta2; peak-shift per row before exponentiating
+    resid = y - t2[None, :] - A_BANANA * (t1**2)[:, None]
+    logp = -0.5 * (t1**2)[:, None] - 0.5 * t2[None, :] ** 2 \
+        - 0.5 * resid**2 / SIG_E
+    p = np.exp(logp - logp.max())
+    p /= p.sum()
+    m2 = float(p.sum(0) @ t2)
+    s2 = float(np.sqrt(p.sum(0) @ t2**2 - m2**2))
+    return {"mean2": m2, "std2": s2}
 
 
 def main():
@@ -95,25 +165,41 @@ def main():
                         "steps_per_sec": epochs1 * (n_sam // 64) / wall}
         print(f"[{fam}] full-data ELBO loss {elbo:.4f}  ({wall:.1f}s)")
 
-    # ---- HMC reference on a handful of observations -----------------
+    # ---- exact-posterior (+ gated HMC) reference per observation -------
     obs_idx = np.arange(n_hmc_obs)
+    # validate the analytic theta2 collapse against the brute 2-D grid once
+    ex0 = exact_posterior_stats(ds.y_data[0])
+    gr0 = exact_check_2d_grid(ds.y_data[0])
+    summary["exact_vs_2dgrid"] = {
+        "mean2_diff": abs(ex0["mean"][1] - gr0["mean2"]),
+        "std2_reldiff": abs(ex0["std"][1] - gr0["std2"]) / gr0["std2"],
+    }
+    print(f"exact-quadrature vs 2-D grid: mean2 diff "
+          f"{summary['exact_vs_2dgrid']['mean2_diff']:.2e}, std2 rel "
+          f"{summary['exact_vs_2dgrid']['std2_reldiff']:.2e}")
     per_obs = []
     for i in obs_idx:
         y_obs = ds.y_data[i]
+        ex = exact_posterior_stats(y_obs)
         logpost = make_fem_logpost(fh, y_obs, SIG_E)
         res = hmc(jax.random.PRNGKey(100 + int(i)), logpost, d=2,
-                  n_samples=2000, burn=1000, n_chains=8, step_size=0.1)
+                  n_samples=4000, burn=2000, n_chains=8, step_size=0.05,
+                  n_leapfrog=32)
         sam = res.samples.reshape(-1, 2)
         key = jax.random.PRNGKey(200 + int(i))
         # rhat per dimension: theta1 enters only as theta1^2 (exact
         # sign-symmetry), so chains legitimately split between the two
         # mirror modes and theta1's split-R-hat diverges BY CONSTRUCTION;
-        # convergence of the comparison only needs theta2's rhat (all
-        # compared statistics below are theta2 / sign-invariant)
+        # the HMC row is trusted (hmc_converged) iff theta2's rhat < 1.05
+        # (all compared statistics are theta2 / sign-invariant)
         row = {"y": float(y_obs[0]),
+               "exact_mean": ex["mean"], "exact_std": ex["std"],
+               "exact_q10_theta2": ex["q10_theta2"],
+               "exact_q90_theta2": ex["q90_theta2"],
                "hmc_rhat": np.asarray(res.rhat).ravel().tolist(),
                "hmc_rhat_theta2": float(np.asarray(res.rhat).ravel()[1]),
-               "hmc_rhat_max": float(np.max(res.rhat)),
+               "hmc_converged":
+                   bool(np.asarray(res.rhat).ravel()[1] < 1.05),
                "hmc_mean": np.mean(sam, 0).tolist(),
                "hmc_std": np.std(sam, 0).tolist(),
                "hmc_q10_theta2": float(np.quantile(sam[:, 1], 0.1)),
@@ -136,20 +222,45 @@ def main():
             row[f"{fam}_q10_theta2"] = float(np.quantile(th[:, 1], 0.1))
             row[f"{fam}_q90_theta2"] = float(np.quantile(th[:, 1], 0.9))
         per_obs.append(row)
-        print(f"obs {i}: y={row['y']:.2f}  hmc mean {row['hmc_mean']}  "
-              f"flow {row['flow_mean']}  fullcov {row['fullcov_mean']}")
+        print(f"obs {i}: y={row['y']:.2f}  exact mean {row['exact_mean']}  "
+              f"flow {row['flow_mean']}  fullcov {row['fullcov_mean']}  "
+              f"rhat2 {row['hmc_rhat_theta2']:.3f}")
 
-    # aggregate distance-to-HMC (mean/std/quantiles of theta2, the curved dim)
-    def agg(fam):
-        dm = [abs(r[f"{fam}_mean"][1] - r["hmc_mean"][1]) for r in per_obs]
-        dsd = [abs(r[f"{fam}_std"][1] - r["hmc_std"][1]) for r in per_obs]
-        dq = [abs(r[f"{fam}_q10_theta2"] - r["hmc_q10_theta2"])
-              + abs(r[f"{fam}_q90_theta2"] - r["hmc_q90_theta2"])
-              for r in per_obs]
+    # aggregate distance to the EXACT posterior (mean/std/quantiles of
+    # theta2, the curved dim); HMC kept as a secondary check on converged
+    # rows only
+    def agg(fam, ref, rows):
+        dm = [abs(r[f"{fam}_mean"][1] - r[f"{ref}_mean"][1]) for r in rows]
+        dsd = [abs(r[f"{fam}_std"][1] - r[f"{ref}_std"][1]) for r in rows]
+        dq = [abs(r[f"{fam}_q10_theta2"] - r[f"{ref}_q10_theta2"])
+              + abs(r[f"{fam}_q90_theta2"] - r[f"{ref}_q90_theta2"])
+              for r in rows]
         return {"mean_err": float(np.mean(dm)), "std_err": float(np.mean(dsd)),
                 "q10q90_err": float(np.mean(dq))}
 
-    summary["vs_hmc"] = {fam: agg(fam) for fam in ("fullcov", "flow")}
+    summary["vs_exact"] = {fam: agg(fam, "exact", per_obs)
+                           for fam in ("fullcov", "flow")}
+    conv = [r for r in per_obs if r["hmc_converged"]]
+    summary["vs_hmc"] = {
+        "n_converged": len(conv), "n_total": len(per_obs),
+        **({fam: agg(fam, "hmc", conv) for fam in ("fullcov", "flow")}
+           if conv else {}),
+    }
+    # HMC's own distance to exact on converged rows — calibrates what
+    # "err" magnitudes mean for a trusted sampler
+    if conv:
+        summary["vs_hmc"]["hmc_vs_exact"] = agg("hmc", "exact", conv)
+    # calibration: family std / exact std (1.0 = calibrated, <1 =
+    # overconfident) — the r4 question (flow_std 0.04 vs hmc_std 1.7)
+    summary["calibration_std_ratio"] = {
+        fam: {
+            "theta1": float(np.mean([r[f"{fam}_std"][0] / r["exact_std"][0]
+                                     for r in per_obs])),
+            "theta2": float(np.mean([r[f"{fam}_std"][1] / r["exact_std"][1]
+                                     for r in per_obs])),
+        }
+        for fam in ("fullcov", "flow")
+    }
     summary["per_obs"] = per_obs
 
     # ---- full two-step for the flow family ---------------------------
@@ -160,7 +271,9 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps(summary["vs_hmc"], indent=2))
+    print(json.dumps({k: summary[k] for k in
+                      ("vs_exact", "vs_hmc", "calibration_std_ratio")},
+                     indent=2))
     print(f"flow step2 final loss {summary['flow']['step2_final_loss']:.3e}")
 
 
