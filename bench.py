@@ -1,16 +1,21 @@
 """Benchmark: ELBO training throughput on the reference workload.
 
-Metric (BASELINE.json north star): ELBO steps/sec at 64 posterior-sample
-batch on one TPU chip — one "step" = the full jitted step-1 training step
-(nets forward, 64x4 = 256 reparameterized FEM assembles+solves, ELBO,
-gradients through the adjoint solve, Adam update), exactly the per-step work
-of ``main_custom_training.py``'s ``train_step``.
+Headline metric (BASELINE configs[4], the hardware-meaningful number): the
+full jitted step-1 VI training step on the SCALED 160x80 mesh (26k dofs) at
+batch 64 x ne_sam 4 = 256 two-level stencil solves per step — nets forward,
+ELBO, gradients through the adjoint solve, Adam update. vs_baseline is
+measured against the round-3 full-order training rate (3.644 steps/s,
+``results_scaled_fullorder/summary.json``) — the reference publishes no
+scaled numbers (BASELINE.md).
 
-vs_baseline is measured against the 50 steps/sec north-star target (the
-reference publishes no numbers; see BASELINE.md).
+The reference-workload parity anchor (north star: >=50 steps/s at 64
+posterior samples on Cook's 20x10) stays as ``elbo_steps_per_sec_b64`` —
+per its own roofline fields it measures dispatch latency, not hardware.
 
 Run on the default backend (TPU via axon). Uses the production fast path:
 float32 Cholesky factorization + float64-grade iterative refinement.
+Off-TPU the scaled sections are skipped and the parity anchor is the
+headline.
 """
 import json
 import os
@@ -110,37 +115,77 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / 50.0, 3),
+        "elbo_steps_per_sec_b64": round(steps_per_sec, 3),
+        "elbo_vs_north_star": round(steps_per_sec / 50.0, 3),
         **mfu,
     }
 
-    # --- scaled hardware-meaningful metrics (round-3 verdict item 3): the
-    # B=64 headline measures dispatch latency on a 462-dof mesh (MFU 7e-5
-    # by its own fields); these sections put the machine numbers — the
-    # scaled stencil two-level path, the raw stencil-matvec bandwidth
-    # fraction, and the 3-D 56k-dof solve — into the SAME driver-parsed
-    # JSON line. Each section is fail-soft so the headline always prints.
+    # --- scaled hardware-meaningful metrics (round-3 verdict item 3 /
+    # round-4 item 8): the B=64 parity anchor measures dispatch latency on
+    # a 462-dof mesh (MFU 7e-5 by its own fields); these sections put the
+    # machine numbers — the scaled 26k-dof FULL TRAINING STEP (promoted to
+    # the headline), the scaled stencil two-level solve path, the raw
+    # stencil-matvec bandwidth fraction, and the 3-D 56k-dof solve — into
+    # the SAME driver-parsed JSON line. Each section is fail-soft so a
+    # headline always prints.
     if on_tpu:
         try:
             out.update(_scaled_2d_fields())
+            if "scaled2d_train_steps_per_sec" in out:
+                out["metric"] = "scaled2d_train_steps_per_sec"
+                out["value"] = out["scaled2d_train_steps_per_sec"]
+                out["unit"] = "steps/s"
+                # no published reference number at this scale; baseline is
+                # the round-3 measured full-order training rate
+                out["vs_baseline"] = round(
+                    out["scaled2d_train_steps_per_sec"] / 3.644, 3)
+                out["baseline_note"] = (
+                    "vs r3 full-order 160x80 training rate 3.644 steps/s "
+                    "(results_scaled_fullorder); BASELINE configs[4] has "
+                    "no published number")
         except Exception as exc:  # pragma: no cover - bench resilience
             out["scaled2d_error"] = repr(exc)[:200]
         try:
             out.update(_scaled_3d_fields())
         except Exception as exc:  # pragma: no cover - bench resilience
             out["scaled3d_error"] = repr(exc)[:200]
+    # on-chip test-lane record (round-4 verdict item 4): written by
+    # `VBICM_TEST_PLATFORM=tpu pytest -m tpu_lane` via tests/conftest.py
+    try:
+        lane_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "results_tpu_lane", "summary.json")
+        if os.path.exists(lane_path):
+            with open(lane_path) as f:
+                lane = json.load(f)
+            out["tpu_lane_passed"] = lane.get("passed")
+            out["tpu_lane_tests"] = lane.get("tests")
+            out["tpu_lane_wall_s"] = lane.get("wall_s")
+            out["tpu_lane_date"] = lane.get("date")
+    except Exception as exc:  # pragma: no cover - bench resilience
+        out["tpu_lane_error"] = repr(exc)[:200]
 
     print(json.dumps(out))
 
 
 def _scaled_2d_fields():
-    """160x80 (26k-dof) B=256 metrics: two-level stencil solves/s with XLA
-    roofline fields, plus the raw Pallas row-stencil matvec measured against
-    its algorithmic HBM-bandwidth bound (BASELINE configs[4])."""
+    """160x80 (26k-dof) scaled metrics (BASELINE configs[4]): the FULL
+    jitted VI training step (B=64 x ne_sam 4 = 256 two-level stencil solves
+    + adjoint gradients + Adam — the round's headline), the B=256 batched
+    two-level solve rate, and the raw Pallas row-stencil matvec measured
+    against its algorithmic HBM-bandwidth bound. All with XLA roofline
+    fields."""
+    import dataclasses
+
+    import optax
+
+    from vbicm_tpu.config import ProblemConfig
     from vbicm_tpu.mesh import cooks_membrane_mesh
     from vbicm_tpu.model import build_fem_model
+    from vbicm_tpu.models.mlp import ThetaPosteriorNet
     from vbicm_tpu.ops.stencil import make_stencil_affine_matvec
     from vbicm_tpu.solver import make_fh_fun, make_two_level_solver
     from vbicm_tpu.utils.roofline import compiled_costs, device_peaks, mfu_fields
+    from vbicm_tpu.vi.elbo import make_loss_step1
 
     nx, ny, B = 160, 80, 256
     model = build_fem_model(cooks_membrane_mesh(nx, ny), dense=False)
@@ -169,6 +214,47 @@ def _scaled_2d_fields():
     }
     fields.update({f"scaled2d_{k}": v
                    for k, v in mfu_fields(fl, by, 1.0 / dt).items()})
+
+    # --- full VI training step at this scale (the headline): identical
+    # per-step work to the scaled runs (examples/train_scaled_vi.py /
+    # arbitrate_scaled_posterior.py step 1) — batch 64 x ne_sam 4 = 256
+    # reparameterized two-level solves, ELBO, adjoint grads, Adam.
+    cfg = dataclasses.replace(
+        ProblemConfig(), node_id=model.nnodes, ele_id=(ny // 2) * nx + 12)
+    fh_t = make_fh_fun(model, cfg, solve_free=solve2l)
+    batch_f = lambda th: jax.vmap(fh_t)(th)[0]
+    bsz, ne_sam = 64, 4
+    e_data = jax.random.normal(jax.random.PRNGKey(0), (ne_sam, 2),
+                               jnp.float64)
+    net = ThetaPosteriorNet(dtype=jnp.float64)
+    yb = jax.random.normal(jax.random.PRNGKey(1), (bsz, 2), jnp.float64)
+    params = net.init(jax.random.PRNGKey(2), yb)
+    loss_fn = make_loss_step1(batch_f, e_data, cfg.sig_e)
+    opt = optax.adam(1e-3, b1=0.99, eps=1e-10)
+    opt_state = opt.init(params)
+
+    def train_step(params, opt_state, y_batch):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_fn(y_batch, net.apply(p, y_batch)))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    tstep = jax.jit(train_step)
+    params2, opt2, loss = tstep(params, opt_state, yb)
+    jax.block_until_ready(loss)
+    n_it = 12
+    t0 = time.perf_counter()
+    p, o = params2, opt2
+    for _ in range(n_it):
+        p, o, loss = tstep(p, o, yb)
+    jax.block_until_ready(loss)
+    dt_t = (time.perf_counter() - t0) / n_it
+    fl_t, by_t = compiled_costs(train_step, params, opt_state, yb)
+    fields["scaled2d_train_steps_per_sec"] = round(1.0 / dt_t, 3)
+    fields["scaled2d_train_batch"] = bsz
+    fields["scaled2d_train_ne_sam"] = ne_sam
+    fields.update({f"scaled2d_train_{k}": v
+                   for k, v in mfu_fields(fl_t, by_t, 1.0 / dt_t).items()})
 
     # raw stencil matvec vs its bandwidth bound. Algorithmic minimum HBM
     # traffic per batched application: read u (B*ndof f32) + write out +

@@ -61,6 +61,14 @@ def main():
     ap.add_argument("--refine-steps", type=int, default=2000)
     ap.add_argument("--results", type=str, default="results_scaled_fullorder")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scan-chunk", type=int, default=13,
+                    help="batches per device program (156 %% it == 0 avoids "
+                         "a second epoch-scan compile)")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from trainer checkpoints and the probe "
+                         "journal — the axon TPU worker crashes "
+                         "INTERMITTENTLY on long runs (docs/KNOWN_ISSUES."
+                         "md); run under a retry loop with this flag")
     args = ap.parse_args()
 
     import vbicm_tpu
@@ -109,16 +117,22 @@ def main():
     )
     print(f"dataset in {time.time()-t0:.1f}s")
     # scan_chunk: identical update trajectory, but each device program is
-    # ~39 batches instead of 156 — a monolithic epoch scan over the
-    # full-order two-level solver tripped the TPU worker here (observed
-    # 2026-08-20: "TPU worker process crashed" mid step-1)
+    # args.scan_chunk batches instead of 156 — a monolithic epoch scan over
+    # the full-order two-level solver tripped the TPU worker here, and so
+    # did a 39-batch chunk (observed 2026-08-20, twice): the crash is
+    # INTERMITTENT, so the defense is short programs + checkpoint/resume
+    # under an external retry loop, not a chunk size alone.
     tcfg = TrainConfig(batch_size=64, num_epoch1=args.epochs1,
-                       num_epoch2=args.epochs2, scan_chunk=39)
+                       num_epoch2=args.epochs2, scan_chunk=args.scan_chunk)
 
     def train(fh_used, train_seed, tag):
         t0 = time.time()
-        tr = TwoStepTrainer(None, cfg, tcfg, fh=fh_used, results_path=None)
-        res = tr.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(train_seed))
+        tr = TwoStepTrainer(
+            None, cfg, tcfg, fh=fh_used,
+            results_path=os.path.join(args.results, "arb_ckpt", tag),
+        )
+        res = tr.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(train_seed),
+                     resume=args.resume)
         print(f"[{tag}] trained in {time.time()-t0:.1f}s "
               f"(step1 {res.hist_step1[-1]:.4f}, step2 {res.hist_step2[-1]:.3e})")
         return tr, res
@@ -155,9 +169,23 @@ def main():
 
     batch_f_full = lambda th: jax.vmap(fh)(th)[0]
     batch_f_rom = lambda th: jax.vmap(fh_rom)(th)[0]
+    # incremental probe journal: each completed probe is appended to disk so
+    # a retried run (--resume) skips it
+    os.makedirs(args.results, exist_ok=True)
+    jpath = os.path.join(args.results, "arb_probes.jsonl")
+    done = {}
+    if args.resume and os.path.exists(jpath):
+        with open(jpath) as f:
+            for line in f:
+                rec = json.loads(line)
+                done[rec["obs"]] = rec
+        print(f"resuming probes: {len(done)} already journaled")
     probes = []
     t0 = time.time()
     for n, i in enumerate(idx):
+        if int(i) in done:
+            probes.append(done[int(i)])
+            continue
         y_obs = y_all[i]
         mu_x, L_x, _ = refine_posterior(
             batch_f_rom, y_obs, cfg.sig_e, jnp.zeros(2), 0.3 * jnp.eye(2),
@@ -189,6 +217,8 @@ def main():
                 np.abs(np.asarray(mu_xf - mu_x)) / std_x
             ).tolist()
         probes.append(rec)
+        with open(jpath, "a") as f:
+            f.write(json.dumps(rec) + "\n")
         print(f"probe {n}/{len(idx)} obs {i}: zgap_full "
               f"{rec['zgap_fullorder']} zgap_rom {rec['zgap_rom']}")
     print(f"probes in {time.time()-t0:.1f}s")

@@ -26,7 +26,11 @@ if _PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
 else:
     # On-chip lane: compiles go through the axon remote-compile relay
-    # (30-300 s cold); the persistent cache makes warm lane runs <2 min.
+    # (30-300 s cold). The persistent cache removes recompiles, but warm
+    # lane runs still spend ~5-6 min wall (measured r4/r5: 346 s — eager
+    # dispatch over the tunnel dominates, not compiles); the lane result +
+    # wall time is recorded to results_tpu_lane/summary.json each run and
+    # surfaced by bench.py as tpu_lane_* fields.
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -42,7 +46,7 @@ REFERENCE_MESH = "/root/reference/Armero_cooksm_20x10.txt"
 
 
 def pytest_collection_modifyitems(config, items):
-    """On the TPU lane run ONLY tests marked tpu_lane (the <2-min curated
+    """On the TPU lane run ONLY tests marked tpu_lane (the curated ~6-min
     subset — multi-device sharding tests would need 8 chips); on CPU run
     everything."""
     if _PLATFORM == "cpu":
@@ -51,6 +55,42 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "tpu_lane" not in item.keywords:
             item.add_marker(skip)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Record each on-chip lane run (pass/fail, test count, wall time) to
+    results_tpu_lane/summary.json so bench.py can surface it as tpu_lane_*
+    fields every round (round-4 verdict item 4)."""
+    if _PLATFORM == "cpu":
+        return
+    import datetime
+    import json
+    import time as _time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outdir = os.path.join(root, "results_tpu_lane")
+    os.makedirs(outdir, exist_ok=True)
+    start = getattr(session.config, "_vbicm_lane_start", None)
+    tr = session.config.pluginmanager.get_plugin("terminalreporter")
+    stats = getattr(tr, "stats", {}) if tr else {}
+    rec = {
+        "passed": int(exitstatus) == 0,
+        "exitstatus": int(exitstatus),
+        "tests": len(stats.get("passed", [])),
+        "failed": len(stats.get("failed", [])),
+        "collected": int(session.testscollected),
+        "wall_s": round(_time.time() - start, 1) if start else None,
+        "date": datetime.datetime.now().isoformat(timespec="seconds"),
+    }
+    with open(os.path.join(outdir, "summary.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+def pytest_sessionstart(session):
+    if _PLATFORM != "cpu":
+        import time as _time
+
+        session.config._vbicm_lane_start = _time.time()
 
 
 @pytest.fixture(scope="session")

@@ -295,9 +295,10 @@ def test_checkpoint_resume(tmp_path, cooks_model, small_fem_data):
     # epochs 0-1 from the checkpointed history, 2-3 trained fresh
     assert h_res[2] != 0 and h_res[3] != 0
     assert np.isfinite(h_res).all()
-    # resumed run continues from the checkpointed optimizer state: losses in
-    # the continued segment stay in the same range as the straight run
-    assert abs(h_res[3] - h_full[3]) < 2.0
+    # resume fast-forwards the per-epoch key stream, so the resumed run
+    # continues the EXACT trajectory of the straight run (same perms, same
+    # reparameterization keys, full optimizer state from the checkpoint)
+    np.testing.assert_allclose(h_res[2:], h_full[2:], rtol=1e-9)
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path):
@@ -382,8 +383,8 @@ def test_checkpoint_resume_step2(tmp_path, cooks_model, small_fem_data):
     )
     assert h_res[2] != 0 and h_res[3] != 0
     assert np.isfinite(h_res).all()
-    # continued run lands in the same decade as the straight 4-epoch run
-    assert h_res[3] < 10 * max(h_full[3], 1e-12)
+    # resume fast-forwards the per-epoch key stream: exact continuation
+    np.testing.assert_allclose(h_res[2:], h_full[2:], rtol=1e-9)
 
     # final bundle restores the full state: resuming at the SAME epoch count
     # is a no-op train (start_epoch == num_epochs) returning identical params

@@ -302,6 +302,11 @@ class TwoStepTrainer:
             if restored is not None:
                 params, opt_state, start_epoch, old_hist = restored
                 hist[: min(len(old_hist), num_epochs)] = old_hist[:num_epochs]
+                # fast-forward the per-epoch key stream so a resumed run
+                # continues the EXACT trajectory an uninterrupted run with
+                # this key would have taken
+                for _ in range(start_epoch):
+                    key, _, _ = jax.random.split(key, 3)
 
         @jax.jit
         def step(params, opt_state, y_batch, e_key):
@@ -463,6 +468,9 @@ class TwoStepTrainer:
             if restored is not None:
                 z_params, opt_state, start_epoch, old_hist = restored
                 hist[: min(len(old_hist), num_epochs)] = old_hist[:num_epochs]
+                # fast-forward the per-epoch key stream (see train_step1)
+                for _ in range(start_epoch):
+                    key, _, _ = jax.random.split(key, 3)
 
         @jax.jit
         def step(z_params, opt_state, y_b, lm_b, ls_b, e_key):
