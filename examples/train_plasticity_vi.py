@@ -42,6 +42,10 @@ def main():
                          "amortized posterior")
     ap.add_argument("--results", type=str, default="results_vi_plasticity")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from trainer checkpoints after an "
+                         "intermittent TPU-worker crash "
+                         "(docs/KNOWN_ISSUES.md)")
     args = ap.parse_args()
 
     import vbicm_tpu
@@ -101,7 +105,8 @@ def main():
         bridge_chunk=512,
     )
     t0 = time.time()
-    res = trainer.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(args.seed + 1))
+    res = trainer.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(args.seed + 1),
+                      resume=args.resume)
     train_s = time.time() - t0
     n_steps = (args.epochs1 + args.epochs2) * (args.n_data // args.batch_size)
     print(

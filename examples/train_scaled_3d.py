@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--epochs2", type=int, default=10)
     ap.add_argument("--results", type=str, default="results_scaled_3d")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from trainer checkpoints after an "
+                         "intermittent TPU-worker crash "
+                         "(docs/KNOWN_ISSUES.md); exact-trajectory resume")
     args = ap.parse_args()
 
     import vbicm_tpu
@@ -113,7 +117,8 @@ def main():
                              results_path=args.results, verbose=True,
                              y_norm=(ds.y_mean, ds.y_std), bridge_chunk=512)
     t0 = time.time()
-    res = trainer.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(args.seed + 1))
+    res = trainer.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(args.seed + 1),
+                      resume=args.resume)
     train_s = time.time() - t0
     n_steps = (args.n_data // 64) * (args.epochs1 + args.epochs2)
     print(f"two-step 3-D FULL-ORDER training: {train_s:.1f}s "
