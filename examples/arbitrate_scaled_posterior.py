@@ -104,26 +104,71 @@ def main():
         refine_residual="split_f32",
     )
     fh = make_fh_fun(model, cfg, solve_free=solve2l)
-    rb = build_reduced_basis(model, tol=1e-10)
-    fh_rom = make_fh_fun_rom(model, rb, cfg)
-    print(f"model + solver + ROM in {time.time()-t0:.1f}s")
+    # ROM basis + dataset are deterministic in (mesh, seed, sizes); cache
+    # them across --resume retries — the intermittent worker crash makes
+    # the external retry loop pay the greedy RB build (~1-2 min) and the
+    # 10k-solve datagen on EVERY attempt otherwise
+    from vbicm_tpu.prob.datagen import MeasurementDataset
+    from vbicm_tpu.rom.reduced_basis import ReducedBasis
 
-    # same dataset as the round-3 run (same key, same sizes)
-    t0 = time.time()
-    ds = generate_data_fem(
-        jax.random.PRNGKey(args.seed), jax.jit(jax.vmap(fh)),
-        n_sam=args.n_data, ne_sam=4, sig_e=cfg.sig_e, sig_eta=cfg.sig_eta,
-        chunk=2048,
-    )
-    print(f"dataset in {time.time()-t0:.1f}s")
+    os.makedirs(args.results, exist_ok=True)
+    cache = os.path.join(args.results, "arb_cache.npz")
+    if args.resume and os.path.exists(cache):
+        import numpy as _np
+
+        z = dict(_np.load(cache, allow_pickle=False))
+        rb = ReducedBasis(
+            Q=z["Q"], g=z["g"], V=z["V"], f_r=z["f_r"], ff=float(z["ff"]),
+            m=z["m"], G=z["G"],
+            t_snapshots=tuple(z["t_snapshots"].tolist()),
+            max_rel_residual=float(z["max_rel_residual"]),
+        )
+        ds = MeasurementDataset(
+            y_data=z["y_data"], z_data=z["z_data"],
+            log_z_data=z["log_z_data"], e_data=z["e_data"],
+            y_mean=z["y_mean"], y_std=z["y_std"], z_mean=z["z_mean"],
+            z_std=z["z_std"], theta_data=z["theta_data"],
+        )
+        fh_rom = make_fh_fun_rom(model, rb, cfg)
+        print(f"model + solver in {time.time()-t0:.1f}s "
+              f"(ROM basis r={rb.r} + dataset from {cache})")
+    else:
+        rb = build_reduced_basis(model, tol=1e-10)
+        fh_rom = make_fh_fun_rom(model, rb, cfg)
+        print(f"model + solver + ROM in {time.time()-t0:.1f}s")
+
+        # same dataset as the round-3 run (same key, same sizes)
+        t0 = time.time()
+        ds = generate_data_fem(
+            jax.random.PRNGKey(args.seed), jax.jit(jax.vmap(fh)),
+            n_sam=args.n_data, ne_sam=4, sig_e=cfg.sig_e,
+            sig_eta=cfg.sig_eta, chunk=2048,
+        )
+        print(f"dataset in {time.time()-t0:.1f}s")
+        import numpy as _np
+
+        _np.savez(
+            cache, Q=rb.Q, g=rb.g, V=rb.V, f_r=rb.f_r, ff=rb.ff, m=rb.m,
+            G=rb.G, t_snapshots=_np.asarray(rb.t_snapshots),
+            max_rel_residual=rb.max_rel_residual,
+            y_data=ds.y_data, z_data=ds.z_data, log_z_data=ds.log_z_data,
+            e_data=ds.e_data, y_mean=ds.y_mean, y_std=ds.y_std,
+            z_mean=ds.z_mean, z_std=ds.z_std, theta_data=ds.theta_data,
+        )
     # scan_chunk: identical update trajectory, but each device program is
     # args.scan_chunk batches instead of 156 — a monolithic epoch scan over
     # the full-order two-level solver tripped the TPU worker here, and so
     # did a 39-batch chunk (observed 2026-08-20, twice): the crash is
     # INTERMITTENT, so the defense is short programs + checkpoint/resume
     # under an external retry loop, not a chunk size alone.
+    # ckpt_every=1: the worker crash interval here has been observed SHORTER
+    # than the default num_epochs//5 checkpoint cadence — retries made zero
+    # forward progress (attempts 3-5 on 2026-08-20 all died between epoch 4
+    # and the epoch-7 checkpoint). Per-epoch checkpoints bound the loss per
+    # crash to one epoch (~40 s full-order).
     tcfg = TrainConfig(batch_size=64, num_epoch1=args.epochs1,
-                       num_epoch2=args.epochs2, scan_chunk=args.scan_chunk)
+                       num_epoch2=args.epochs2, scan_chunk=args.scan_chunk,
+                       ckpt_every=1)
 
     def train(fh_used, train_seed, tag):
         t0 = time.time()

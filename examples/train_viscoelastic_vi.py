@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--dt", type=float, default=0.25)
     ap.add_argument("--g0", type=float, default=0.4, help="median branch fraction")
     ap.add_argument("--tau0", type=float, default=1.0, help="median relaxation time")
+    ap.add_argument("--num-neuron", type=int, default=64,
+                    help="posterior-net width; the default 20-neuron "
+                         "reference net plateaus ~140x above the loss "
+                         "floor on this high-SNR trajectory inversion "
+                         "(sig_e=1e-3 on a ~4-unit creep curve)")
     ap.add_argument("--n-validate", type=int, default=4,
                     help="held-out observations refined + Laplace-checked")
     ap.add_argument("--results", type=str, default="results_vi_viscoelastic")
@@ -86,13 +91,32 @@ def main():
     datagen_s = time.time() - t0
     print(f"generated {args.n_data} creep trajectories in {datagen_s:.1f}s")
 
+    # lr_decay_mode="fixed": the reference decay quirk fires iff a PAST
+    # loss was negative (config.py TrainConfig notes); this problem's
+    # step-1 loss is ~1e3 positive, so in reference mode the lr never
+    # decays and training ends in an SGD noise ball (measured round 5:
+    # loss oscillating 700-1200 after 150 epochs). The plateau-detecting
+    # fixed mode anneals it. Reference-parity runs keep the quirk.
+    # pairing="per_sample": the reference's cross-pairing quirk scores
+    # every y against EVERY posterior sample in the batch; at sig_e=1e-3
+    # the j!=i pairs carry the full inter-observation spread and floor the
+    # loss at ~(spread)^2/(2 sig_e) ~ 7e2 regardless of the net (measured:
+    # cross plateaus 700-1100; per-sample converges). Harmless at the
+    # reference's sig_e=0.1; fatal on high-SNR likelihoods.
     tcfg = TrainConfig(
         batch_size=args.batch_size, num_epoch1=args.epochs1,
-        num_epoch2=args.epochs2,
+        num_epoch2=args.epochs2, lr_decay_mode="fixed",
+        num_neuron=args.num_neuron, pairing="per_sample",
     )
+    # y_norm is ESSENTIAL here: the creep trajectories sit at ~4 units
+    # with only ~0.1 units of theta-induced variation, and the likelihood
+    # resolves 1e-3 (sig_e) — un-standardized inputs ask the MLP to
+    # resolve 3e-4 relative input differences (measured round 5: the
+    # un-normalized net plateaus at loss ~900-1100 regardless of width or
+    # epochs; standardized inputs make the informative variation O(1))
     trainer = TwoStepTrainer(
         None, cfg, tcfg, fh=fh, results_path=args.results, verbose=True,
-        bridge_chunk=512,
+        bridge_chunk=512, y_norm=(ds.y_mean, ds.y_std),
     )
     t0 = time.time()
     res = trainer.fit(ds.y_data, ds.e_data, jax.random.PRNGKey(args.seed + 1),

@@ -144,6 +144,14 @@ class TrainConfig:
     # harmless for cheap fh's, minutes for two-level-solver fh's. The
     # update trajectory is identical either way.
     scan_chunk: int = 0
+    # Checkpoint cadence in epochs for BOTH steps. 0 (default) keeps the
+    # reference's convention of num_epochs // 5. Long runs through expensive
+    # fh's on axon should set 1: the intermittent TPU worker crash
+    # (docs/KNOWN_ISSUES.md) means an external retry loop pays back only the
+    # epochs since the last checkpoint — at //5 cadence a 20-epoch run can
+    # lose 4 full-order epochs per crash, which stalls forward progress
+    # entirely when the crash interval is shorter than that.
+    ckpt_every: int = 0
     # Optional global-norm gradient clip (optax.clip_by_global_norm) applied
     # before Adam in BOTH steps. None (default) = reference parity (no
     # clipping). Sharp-likelihood problems (small sig_e, many probes — the

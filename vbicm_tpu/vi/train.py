@@ -345,7 +345,8 @@ class TwoStepTrainer:
             )
             return params, opt_state, losses[-1]
 
-        save_freq = max(1, num_epochs // 5)
+        save_freq = (t.ckpt_every if t.ckpt_every > 0
+                     else max(1, num_epochs // 5))
         loss_val = 0.0
         for epoch in range(start_epoch, num_epochs):
             tic = time.time()
@@ -519,7 +520,8 @@ class TwoStepTrainer:
             )
             return z_params, opt_state, losses[-1]
 
-        save_freq = max(1, num_epochs // 5)
+        save_freq = (t.ckpt_every if t.ckpt_every > 0
+                     else max(1, num_epochs // 5))
         loss_val = 0.0
         for epoch in range(start_epoch, num_epochs):
             tic = time.time()
