@@ -301,6 +301,36 @@ def test_checkpoint_resume(tmp_path, cooks_model, small_fem_data):
     np.testing.assert_allclose(h_res[2:], h_full[2:], rtol=1e-9)
 
 
+def test_ckpt_every_overrides_default_cadence(tmp_path, cooks_model, small_fem_data):
+    """TrainConfig.ckpt_every=1 writes a checkpoint file per epoch in BOTH
+    steps (the crash-cadence mitigation, KNOWN_ISSUES round-5 escalation);
+    the default keeps the reference's num_epochs//5 spacing."""
+    import glob
+    import os
+
+    ds = small_fem_data
+    key = jax.random.PRNGKey(5)
+    out = str(tmp_path / "every")
+    tcfg = TrainConfig(batch_size=64, num_epoch1=10, num_epoch2=3,
+                       flg_lr_decay=False, ckpt_every=1)
+    tr = TwoStepTrainer(cooks_model, ProblemConfig(), tcfg, results_path=out)
+    tr.fit(ds.y_data, ds.e_data, key)
+    n1 = len([p for p in glob.glob(os.path.join(out, "step1", "*.msgpack"))
+              if not p.endswith("latest.msgpack")])
+    n2 = len([p for p in glob.glob(os.path.join(out, "step2", "*.msgpack"))
+              if not p.endswith("latest.msgpack")])
+    assert n1 == 10 and n2 == 3
+
+    # default cadence unchanged: 10 epochs -> every 2nd epoch
+    out0 = str(tmp_path / "default")
+    tcfg0 = TrainConfig(batch_size=64, num_epoch1=10, flg_lr_decay=False)
+    tr0 = TwoStepTrainer(cooks_model, ProblemConfig(), tcfg0, results_path=out0)
+    tr0.train_step1(ds.y_data, ds.e_data, key)
+    n0 = len([p for p in glob.glob(os.path.join(out0, "step1", "*.msgpack"))
+              if not p.endswith("latest.msgpack")])
+    assert n0 == 5
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     from vbicm_tpu.utils.checkpoint import load_orbax, save_orbax
