@@ -166,9 +166,13 @@ def main():
     # forward progress (attempts 3-5 on 2026-08-20 all died between epoch 4
     # and the epoch-7 checkpoint). Per-epoch checkpoints bound the loss per
     # crash to one epoch (~40 s full-order).
+    # ckpt_chunk: by mid-round-5 the crash interval dropped BELOW one
+    # full-order epoch (~40 s + 90-220 s rebuild per retry), so even
+    # per-epoch checkpoints stopped banking progress; chunk-level bundles
+    # (every 13 batches, ~4 s) survive arbitrarily short attempt windows.
     tcfg = TrainConfig(batch_size=64, num_epoch1=args.epochs1,
                        num_epoch2=args.epochs2, scan_chunk=args.scan_chunk,
-                       ckpt_every=1)
+                       ckpt_every=1, ckpt_chunk=True)
 
     def train(fh_used, train_seed, tag):
         t0 = time.time()

@@ -72,6 +72,7 @@ _MEASURED_HEAVY = {
     "test_vi_flow.py::test_flow_init_equals_meanfield_base",
     "test_nonlinear.py::test_softening_material_converges_and_softens",
     "test_vi.py::test_ckpt_every_overrides_default_cadence",
+    "test_vi.py::test_ckpt_chunk_midepoch_crash_resume",
     "test_umat.py::test_umat_parameter_gradients_match_fd",
     "test_randomfield.py::test_mean_field_preconditioner_parity",
     "test_rom.py::test_rom_scaled_mesh_smoke",

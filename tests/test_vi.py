@@ -331,6 +331,52 @@ def test_ckpt_every_overrides_default_cadence(tmp_path, cooks_model, small_fem_d
     assert n0 == 5
 
 
+def test_ckpt_chunk_midepoch_crash_resume(tmp_path, cooks_model, small_fem_data):
+    """Sub-epoch (scan-chunk) checkpointing: a run killed MID-epoch resumes
+    at the last banked chunk and continues the exact trajectory of an
+    uninterrupted run (the round-5 worker-crash mitigation)."""
+    ds = small_fem_data
+    key = jax.random.PRNGKey(5)
+    # 64 obs / batch 16 = 4 full batches; scan_chunk=1 -> 4 chunks/epoch
+    tcfg = TrainConfig(batch_size=16, num_epoch1=3, flg_lr_decay=False,
+                       scan_chunk=1, ckpt_chunk=True)
+
+    t_full = TwoStepTrainer(cooks_model, ProblemConfig(), tcfg)
+    p_full, h_full = t_full.train_step1(ds.y_data, ds.e_data, key, num_epochs=3)
+
+    class Boom(RuntimeError):
+        pass
+
+    class CrashingTrainer(TwoStepTrainer):
+        """Injects a crash at the Nth scan-chunk dispatch (the sharding
+        hook runs exactly once per chunk)."""
+
+        crash_after = 6  # dies in epoch 1, after banking its 2nd chunk
+
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self._chunks_seen = 0
+
+        def _maybe_shard_batched(self, x):
+            self._chunks_seen += 1
+            if self._chunks_seen > self.crash_after:
+                raise Boom()
+            return super()._maybe_shard_batched(x)
+
+    out = str(tmp_path)
+    t_a = CrashingTrainer(cooks_model, ProblemConfig(), tcfg, results_path=out)
+    with pytest.raises(Boom):
+        t_a.train_step1(ds.y_data, ds.e_data, key, num_epochs=3)
+
+    t_b = TwoStepTrainer(cooks_model, ProblemConfig(), tcfg, results_path=out)
+    p_res, h_res = t_b.train_step1(ds.y_data, ds.e_data, key, num_epochs=3,
+                                   resume=True)
+    np.testing.assert_allclose(h_res[1:], h_full[1:], rtol=1e-9)
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     from vbicm_tpu.utils.checkpoint import load_orbax, save_orbax

@@ -152,6 +152,18 @@ class TrainConfig:
     # lose 4 full-order epochs per crash, which stalls forward progress
     # entirely when the crash interval is shorter than that.
     ckpt_every: int = 0
+    # Checkpoint after EVERY scan chunk within an epoch (both steps; only
+    # active in scan_epochs mode). The round-5 escalation of the worker
+    # crash (docs/KNOWN_ISSUES.md) killed runs faster than a full 160x80
+    # epoch (~40 s) completes, so even ckpt_every=1 made no progress;
+    # chunk-level bundles (~every scan_chunk batches, a few seconds) bound
+    # the loss per crash to one chunk. Sub-epoch bundles write only
+    # ``latest.msgpack`` (the numbered per-epoch files keep the
+    # reference's completed-epoch meaning); resume re-derives the
+    # interrupted epoch's keys, so the continuation trajectory is exact.
+    # Costs one host sync + ~16 KB write per chunk — negligible against
+    # expensive-fh chunks, wasteful for cheap ones.
+    ckpt_chunk: bool = False
     # Optional global-norm gradient clip (optax.clip_by_global_norm) applied
     # before Adam in BOTH steps. None (default) = reference parity (no
     # clipping). Sharp-likelihood problems (small sig_e, many probes — the

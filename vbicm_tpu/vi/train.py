@@ -206,10 +206,12 @@ class TwoStepTrainer:
     def _lr_decay(self, opt_state, hist, epoch, loss_val=0.0):
         """Reference (``:286-294``) or fixed decay-on-plateau.
 
-        Called BEFORE hist[epoch] is written (reference statement order), so
-        the reference mode reads the still-zero current slot — with positive
-        losses the decay never fires. The fixed mode uses the actual current
-        loss against the one lr_patience epochs ago.
+        The reference statement order reads a still-zero CURRENT history
+        slot, so its comparison is hardcoded as ``0.0 - hist[epoch -
+        lr_patience]`` below — with positive losses the decay never fires
+        (quirk preserved regardless of when the caller fills hist[epoch]).
+        The fixed mode uses the actual current loss against the one
+        lr_patience epochs ago.
         """
         t = self.tcfg
         if not t.flg_lr_decay or epoch % t.lr_patience != 0 or epoch == 0:
@@ -230,24 +232,32 @@ class TwoStepTrainer:
             )
         return opt_state, bool(fire)
 
-    def _save_ckpt(self, subdir, epoch, loss, params, opt_state=None, hist=None):
+    def _save_ckpt(self, subdir, epoch, loss, params, opt_state=None, hist=None,
+                   batches_done=0):
         """Periodic checkpoint: params in the reference's ``{epoch:02d}-
         {loss:.8f}`` naming (``main_custom_training.py:282-283``), plus a
         ``latest`` full-state bundle (params + optimizer state + epoch +
         loss history) for exact resume — which the reference cannot do (it
-        saves model weights only)."""
+        saves model weights only).
+
+        ``batches_done > 0`` marks a SUB-epoch bundle: epoch ``epoch`` is in
+        progress with that many batches consumed (always a scan-chunk
+        boundary). Only the ``latest`` bundle is written then — the numbered
+        params file keeps the reference's completed-epoch meaning."""
         if self.results_path is None:
             return
         d = os.path.join(self.results_path, subdir)
         os.makedirs(d, exist_ok=True)
-        fname = os.path.join(d, f"{epoch:02d}-{loss:.8f}.msgpack")
-        with open(fname, "wb") as f:
-            f.write(serialization.to_bytes(params))
+        if batches_done == 0:
+            fname = os.path.join(d, f"{epoch:02d}-{loss:.8f}.msgpack")
+            with open(fname, "wb") as f:
+                f.write(serialization.to_bytes(params))
         if opt_state is not None:
             state = {
                 "params": params,
                 "opt_state": opt_state,
                 "epoch": epoch,
+                "batches_done": batches_done,
                 "hist": np.asarray(hist) if hist is not None else np.zeros(0),
             }
             with open(os.path.join(d, "latest.msgpack"), "wb") as f:
@@ -255,7 +265,13 @@ class TwoStepTrainer:
 
     def load_ckpt(self, subdir, template_params, template_opt_state):
         """Restore a ``latest`` full-state bundle; returns (params,
-        opt_state, start_epoch, hist) or None if absent."""
+        opt_state, start_epoch, hist, start_batch) or None if absent.
+
+        ``start_batch > 0`` means epoch ``start_epoch`` was interrupted
+        after that many batches (a scan-chunk boundary): rerun it from
+        there — its permutation/reparameterization keys are recomputed
+        from the fast-forwarded key stream, so the continuation is the
+        exact trajectory."""
         path = os.path.join(self.results_path or "", subdir, "latest.msgpack")
         if self.results_path is None or not os.path.exists(path):
             return None
@@ -263,11 +279,24 @@ class TwoStepTrainer:
             "params": template_params,
             "opt_state": template_opt_state,
             "epoch": 0,
+            "batches_done": 0,
             "hist": np.zeros(0),
         }
         with open(path, "rb") as f:
-            state = serialization.from_bytes(template, f.read())
-        return state["params"], state["opt_state"], int(state["epoch"]) + 1, state["hist"]
+            data = f.read()
+        try:
+            state = serialization.from_bytes(template, data)
+        except ValueError:
+            # pre-round-5 bundle without the batches_done field
+            del template["batches_done"]
+            state = serialization.from_bytes(template, data)
+            state["batches_done"] = 0
+        bd = int(state["batches_done"])
+        if bd > 0:
+            return (state["params"], state["opt_state"], int(state["epoch"]),
+                    state["hist"], bd)
+        return (state["params"], state["opt_state"], int(state["epoch"]) + 1,
+                state["hist"], 0)
 
     # ------------------------------------------------------------------
     def train_step1(self, y_data, e_data, key, num_epochs=None, resume=False):
@@ -295,16 +324,17 @@ class TwoStepTrainer:
         params = self._init_theta(k_init, y_data[:1])
         opt = self._opt_step1()
         opt_state = opt.init(params)
-        start_epoch = 0
+        start_epoch, start_batch = 0, 0
         hist = np.zeros(num_epochs)
         if resume:
             restored = self.load_ckpt("step1", params, opt_state)
             if restored is not None:
-                params, opt_state, start_epoch, old_hist = restored
+                params, opt_state, start_epoch, old_hist, start_batch = restored
                 hist[: min(len(old_hist), num_epochs)] = old_hist[:num_epochs]
                 # fast-forward the per-epoch key stream so a resumed run
                 # continues the EXACT trajectory an uninterrupted run with
-                # this key would have taken
+                # this key would have taken (a partially-done start_epoch
+                # re-derives ITS keys inside the loop below)
                 for _ in range(start_epoch):
                     key, _, _ = jax.random.split(key, 3)
 
@@ -367,11 +397,22 @@ class TwoStepTrainer:
                 # TPU worker (same failure class as vi.refine chunk_steps).
                 ck = t.scan_chunk if t.scan_chunk > 0 else n_full
                 for s in range(0, n_full, ck):
+                    if epoch == start_epoch and s + ck <= start_batch:
+                        continue  # chunk already banked before the crash
                     params, opt_state, loss_val = epoch_scan(
                         params, opt_state,
                         self._maybe_shard_batched(yb_all[s : s + ck]),
                         e_keys[s : min(s + ck, n_full)],
                     )
+                    if t.ckpt_chunk and (s + ck < n_full or rem):
+                        # bank every scan chunk: on this backend the worker
+                        # can crash faster than an epoch completes
+                        # (KNOWN_ISSUES round-5 escalation). The final
+                        # chunk of a rem-free epoch is covered by the
+                        # epoch-level save immediately after.
+                        self._save_ckpt("step1", epoch, float(loss_val),
+                                        params, opt_state, hist,
+                                        batches_done=min(s + ck, n_full))
             else:
                 for b in range(n_full):
                     yb = y_shuf[b * t.batch_size : (b + 1) * t.batch_size]
@@ -385,10 +426,15 @@ class TwoStepTrainer:
             self._epoch_times_step1.append(time.time() - tic)
             if self.verbose:
                 print(f"[step1] epoch {epoch}: loss {loss_val:.6f} ({time.time()-tic:.2f}s)")
+            # write the epoch's loss BEFORE bundling: a resume of an
+            # already-complete run must restore the full history, not a
+            # zero final slot (_lr_decay is unaffected — its reference
+            # mode hardcodes 0.0 for the current slot and both modes read
+            # only PAST slots)
+            hist[epoch] = loss_val
             if (epoch + 1) % save_freq == 0:
                 self._save_ckpt("step1", epoch, loss_val, params, opt_state, hist)
             opt_state, fired = self._lr_decay(opt_state, hist, epoch, loss_val)
-            hist[epoch] = loss_val
         return params, hist
 
     # ------------------------------------------------------------------
@@ -462,12 +508,12 @@ class TwoStepTrainer:
         z_params = self.z_net.init(k_init, y_data[:1])
         opt = self._opt_step2()
         opt_state = opt.init(z_params)
-        start_epoch = 0
+        start_epoch, start_batch = 0, 0
         hist = np.zeros(num_epochs)
         if resume:
             restored = self.load_ckpt("step2", z_params, opt_state)
             if restored is not None:
-                z_params, opt_state, start_epoch, old_hist = restored
+                z_params, opt_state, start_epoch, old_hist, start_batch = restored
                 hist[: min(len(old_hist), num_epochs)] = old_hist[:num_epochs]
                 # fast-forward the per-epoch key stream (see train_step1)
                 for _ in range(start_epoch):
@@ -538,6 +584,8 @@ class TwoStepTrainer:
                 # time for expensive fh's, identical trajectory
                 ck = t.scan_chunk if t.scan_chunk > 0 else n_full
                 for s in range(0, n_full, ck):
+                    if epoch == start_epoch and s + ck <= start_batch:
+                        continue  # chunk already banked before the crash
                     z_params, opt_state, loss_val = epoch_scan(
                         z_params, opt_state,
                         self._maybe_shard_batched(yb_all[s : s + ck]),
@@ -545,6 +593,10 @@ class TwoStepTrainer:
                         self._maybe_shard_batched(ls_all[s : s + ck]),
                         e_keys[s : min(s + ck, n_full)],
                     )
+                    if t.ckpt_chunk and (s + ck < n_full or rem):
+                        self._save_ckpt("step2", epoch, float(loss_val),
+                                        z_params, opt_state, hist,
+                                        batches_done=min(s + ck, n_full))
             else:
                 for b in range(n_full):
                     sl = slice(b * t.batch_size, (b + 1) * t.batch_size)
@@ -568,10 +620,10 @@ class TwoStepTrainer:
             self._epoch_times_step2.append(time.time() - tic)
             if self.verbose:
                 print(f"[step2] epoch {epoch}: loss {loss_val:.3e} ({time.time()-tic:.2f}s)")
+            hist[epoch] = loss_val  # before bundling — see train_step1
             if (epoch + 1) % save_freq == 0:
                 self._save_ckpt("step2", epoch, loss_val, z_params, opt_state, hist)
             opt_state, fired = self._lr_decay(opt_state, hist, epoch, loss_val)
-            hist[epoch] = loss_val
         if self.results_path is not None:
             # final bundle carries the optimizer state too, so a killed run
             # resumes exactly (round-2 weak #6: asymmetric checkpointing)
