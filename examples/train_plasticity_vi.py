@@ -42,6 +42,12 @@ def main():
                          "amortized posterior")
     ap.add_argument("--results", type=str, default="results_vi_plasticity")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scan-chunk", type=int, default=0,
+                    help="batches per device program (pick a divisor of "
+                         "n_data//batch_size); at scaled meshes a monolithic "
+                         "epoch scan over the Newton histories is the "
+                         "long-program class that trips the TPU worker "
+                         "(docs/KNOWN_ISSUES.md)")
     ap.add_argument("--resume", action="store_true",
                     help="continue from trainer checkpoints after an "
                          "intermittent TPU-worker crash "
@@ -88,24 +94,55 @@ def main():
           f"{', elastic two-level precond' if args.two_level else ''}) "
           f"in {build_s:.1f}s")
 
+    # dataset cache: deterministic in (mesh, material, seed, sizes) — a
+    # crash-retry loop (--resume) must not re-pay the n_data elastoplastic
+    # history solves on every attempt (same rationale as
+    # examples/arbitrate_scaled_posterior.py's arb_cache)
+    import os
+
+    from vbicm_tpu.prob.datagen import MeasurementDataset
+
+    os.makedirs(args.results, exist_ok=True)
+    cache = os.path.join(args.results, "dataset_cache.npz")
     t0 = time.time()
-    ds = generate_data_fem(
-        jax.random.PRNGKey(args.seed), jax.jit(jax.vmap(fh)),
-        n_sam=args.n_data, ne_sam=args.ne_sam,
-        sig_e=cfg.sig_e, sig_eta=cfg.sig_eta, chunk=512,
-    )
-    datagen_s = time.time() - t0
-    print(f"generated {args.n_data} elastoplastic data points in {datagen_s:.1f}s")
+    if args.resume and os.path.exists(cache):
+        import numpy as _np
+
+        z = dict(_np.load(cache, allow_pickle=False))
+        ds = MeasurementDataset(**{k: z[k] for k in (
+            "y_data", "z_data", "log_z_data", "e_data", "y_mean", "y_std",
+            "z_mean", "z_std", "theta_data")})
+        datagen_s = time.time() - t0
+        print(f"loaded {args.n_data} elastoplastic data points from {cache}")
+    else:
+        ds = generate_data_fem(
+            jax.random.PRNGKey(args.seed), jax.jit(jax.vmap(fh)),
+            n_sam=args.n_data, ne_sam=args.ne_sam,
+            sig_e=cfg.sig_e, sig_eta=cfg.sig_eta, chunk=512,
+        )
+        datagen_s = time.time() - t0
+        import numpy as _np
+
+        _np.savez(cache, y_data=ds.y_data, z_data=ds.z_data,
+                  log_z_data=ds.log_z_data, e_data=ds.e_data,
+                  y_mean=ds.y_mean, y_std=ds.y_std, z_mean=ds.z_mean,
+                  z_std=ds.z_std, theta_data=ds.theta_data)
+        print(f"generated {args.n_data} elastoplastic data points in {datagen_s:.1f}s")
 
     # fixed-mode lr decay: the reference quirk never fires on positive
     # losses (see train_viscoelastic_vi.py) — this problem's loss is
     # positive throughout, so reference mode would hold lr at 1e-3 forever
     # per-sample pairing: see train_viscoelastic_vi.py — the reference's
     # cross-pairing broadcast floors the loss on sharp likelihoods
+    # ckpt_every=1 + chunk bundles when --scan-chunk is set: the worker-crash
+    # cadence at scaled meshes is shorter than the default num_epoch//5
+    # checkpoint interval (docs/KNOWN_ISSUES.md, round-5 escalation)
     tcfg = TrainConfig(
         batch_size=args.batch_size, num_epoch1=args.epochs1,
         num_epoch2=args.epochs2, lr_decay_mode="fixed",
-        pairing="per_sample",
+        pairing="per_sample", scan_chunk=args.scan_chunk,
+        ckpt_every=1 if args.scan_chunk else 0,
+        ckpt_chunk=bool(args.scan_chunk),
     )
     # standardized net inputs (see train_viscoelastic_vi.py: un-normalized
     # trajectory inputs leave the posterior net unable to resolve the
@@ -127,6 +164,21 @@ def main():
     print(f"final step1 loss: {res.hist_step1[-1]:.6f}")
     print(f"final step2 loss: {res.hist_step2[-1]:.3e}")
 
+    # persist training metrics BEFORE the validation phase: a worker crash
+    # during the refinement probes must not lose the training record
+    summary = {
+        "config": vars(args),
+        "ndof": model.ndof,
+        "build_s": round(build_s, 1),
+        "datagen_s": round(datagen_s, 1),
+        "train_s": round(train_s, 1),
+        "train_steps_per_sec": round(n_steps / train_s, 3),
+        "step1_last": float(res.hist_step1[-1]),
+        "step2_last": float(res.hist_step2[-1]),
+    }
+    with open(f"{args.results}/summary.json", "w") as f:
+        json.dump(summary, f, indent=1)
+
     # posterior sanity: per-observation SVI refinement (the exact posterior
     # up to refinement tolerance) from the amortized init — amortized mean
     # must sit within ~a posterior std of the refined mean
@@ -145,6 +197,9 @@ def main():
             batch_f, jnp.asarray(y_obs), cfg.sig_e, jnp.asarray(tm[0]),
             jnp.diag(jnp.sqrt(jnp.asarray(tsg[0]))),
             key=jax.random.PRNGKey(100 + i), steps=1500, ne=16, lr=1e-2,
+            # a monolithic 1500-step scan over scaled Newton histories is
+            # the long-program crash class (docs/KNOWN_ISSUES.md)
+            chunk_steps=150,
         )
         std_r = np.sqrt(np.diag(np.asarray(L @ L.T)))
         zgap = np.abs(np.asarray(tm[0]) - np.asarray(mu)) / std_r
@@ -162,24 +217,9 @@ def main():
         print(f"obs {i}: amortized {validations[-1]['amortized_mean']} "
               f"refined {validations[-1]['refined_mean']} zgap {zgap}")
 
-    import os
-
-    os.makedirs(args.results, exist_ok=True)
+    summary["validation_vs_refined"] = validations
     with open(f"{args.results}/summary.json", "w") as f:
-        json.dump(
-            {
-                "config": vars(args),
-                "ndof": model.ndof,
-                "build_s": round(build_s, 1),
-                "datagen_s": round(datagen_s, 1),
-                "train_s": round(train_s, 1),
-                "train_steps_per_sec": round(n_steps / train_s, 3),
-                "step1_last": float(res.hist_step1[-1]),
-                "step2_last": float(res.hist_step2[-1]),
-                "validation_vs_refined": validations,
-            },
-            f, indent=1,
-        )
+        json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":
