@@ -301,6 +301,40 @@ def test_checkpoint_resume(tmp_path, cooks_model, small_fem_data):
     np.testing.assert_allclose(h_res[2:], h_full[2:], rtol=1e-9)
 
 
+def test_corrupt_latest_falls_back_to_numbered(tmp_path, cooks_model, small_fem_data):
+    """A truncated `latest.msgpack` (worker crash caught a pre-atomic write
+    mid-stream — observed on the axon tunnel 2026-08-21) must NOT crash the
+    resume: load_ckpt degrades to the best numbered epoch-params file with a
+    rebuilt loss history, and training continues."""
+    import os
+
+    ds = small_fem_data
+    key = jax.random.PRNGKey(5)
+    t_a = TwoStepTrainer(
+        cooks_model, ProblemConfig(),
+        TrainConfig(batch_size=64, num_epoch1=2, flg_lr_decay=False),
+        results_path=str(tmp_path),
+    )
+    _, h_a = t_a.train_step1(ds.y_data, ds.e_data, key, num_epochs=2)
+
+    # simulate the observed corruption: zero-byte latest bundle
+    latest = os.path.join(str(tmp_path), "step1", "latest.msgpack")
+    with open(latest, "wb"):
+        pass
+    assert os.path.getsize(latest) == 0
+
+    t_b = TwoStepTrainer(
+        cooks_model, ProblemConfig(),
+        TrainConfig(batch_size=64, num_epoch1=4, flg_lr_decay=False),
+        results_path=str(tmp_path),
+    )
+    p_res, h_res = t_b.train_step1(ds.y_data, ds.e_data, key, num_epochs=4,
+                                   resume=True)
+    # epochs 0-1 recovered from the numbered filenames, 2-3 trained fresh
+    np.testing.assert_allclose(h_res[:2], h_a[:2], rtol=1e-6)
+    assert h_res[2] != 0 and h_res[3] != 0 and np.isfinite(h_res).all()
+
+
 def test_ckpt_every_overrides_default_cadence(tmp_path, cooks_model, small_fem_data):
     """TrainConfig.ckpt_every=1 writes a checkpoint file per epoch in BOTH
     steps (the crash-cadence mitigation, KNOWN_ISSUES round-5 escalation);

@@ -71,6 +71,19 @@ class TrainResult:
     epoch_times_step2: Any = None
 
 
+def _atomic_write(path, data):
+    """Write-then-rename so a crash mid-write never leaves a truncated file
+    at `path` (os.replace is atomic on POSIX). The axon worker crash was
+    observed to land exactly inside a checkpoint write (zero-byte
+    latest.msgpack, 2026-08-21)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def _batches(n, batch_size):
     """Split n into (n_full, remainder) batch sizes."""
     return n // batch_size, n % batch_size
@@ -250,8 +263,7 @@ class TwoStepTrainer:
         os.makedirs(d, exist_ok=True)
         if batches_done == 0:
             fname = os.path.join(d, f"{epoch:02d}-{loss:.8f}.msgpack")
-            with open(fname, "wb") as f:
-                f.write(serialization.to_bytes(params))
+            _atomic_write(fname, serialization.to_bytes(params))
         if opt_state is not None:
             state = {
                 "params": params,
@@ -260,8 +272,41 @@ class TwoStepTrainer:
                 "batches_done": batches_done,
                 "hist": np.asarray(hist) if hist is not None else np.zeros(0),
             }
-            with open(os.path.join(d, "latest.msgpack"), "wb") as f:
-                f.write(serialization.to_bytes(state))
+            _atomic_write(os.path.join(d, "latest.msgpack"),
+                          serialization.to_bytes(state))
+
+    def _load_numbered_fallback(self, subdir, template_params):
+        """Best-effort restore from the reference-style numbered params
+        files when the `latest` bundle is unreadable. Returns
+        (params, last_completed_epoch, hist) or None if no numbered file
+        parses."""
+        d = os.path.join(self.results_path or "", subdir)
+        recs = []
+        try:
+            names = os.listdir(d)
+        except OSError:
+            return None
+        for name in names:
+            stem, _, ext = name.rpartition(".")
+            if ext != "msgpack" or "-" not in stem:
+                continue
+            ep_s, _, loss_s = stem.partition("-")
+            try:
+                recs.append((int(ep_s), float(loss_s), name))
+            except ValueError:
+                continue
+        for ep, _, name in sorted(recs, reverse=True):
+            try:
+                with open(os.path.join(d, name), "rb") as f:
+                    params = serialization.from_bytes(template_params, f.read())
+            except Exception:
+                continue
+            hist = np.zeros(ep + 1)
+            for e2, loss2, _ in recs:
+                if e2 <= ep:
+                    hist[e2] = loss2
+            return params, ep, hist
+        return None
 
     def load_ckpt(self, subdir, template_params, template_opt_state):
         """Restore a ``latest`` full-state bundle; returns (params,
@@ -285,12 +330,30 @@ class TwoStepTrainer:
         with open(path, "rb") as f:
             data = f.read()
         try:
-            state = serialization.from_bytes(template, data)
-        except ValueError:
-            # pre-round-5 bundle without the batches_done field
-            del template["batches_done"]
-            state = serialization.from_bytes(template, data)
-            state["batches_done"] = 0
+            try:
+                state = serialization.from_bytes(template, data)
+            except ValueError:
+                # pre-round-5 bundle without the batches_done field
+                t2 = dict(template)
+                del t2["batches_done"]
+                state = serialization.from_bytes(t2, data)
+                state["batches_done"] = 0
+        except Exception:
+            # `latest` is corrupt (a worker crash caught a pre-atomic-write
+            # bundle mid-write: zero-byte / truncated msgpack was observed
+            # 2026-08-21 on the axon tunnel). Degrade to the best numbered
+            # epoch file: params restored exactly, optimizer state fresh,
+            # loss history rebuilt from the `{epoch:02d}-{loss:.8f}`
+            # filenames — an approximate resume beats crashing the retry
+            # loop. Writes are atomic (os.replace) now, so this only fires
+            # on legacy leftovers.
+            fb = self._load_numbered_fallback(subdir, template_params)
+            if fb is None:
+                raise
+            params, epoch, hist = fb
+            print(f"[ckpt] {path} corrupt; fell back to epoch {epoch} "
+                  f"params file (optimizer state reset)")
+            return params, template_opt_state, epoch + 1, hist, 0
         bd = int(state["batches_done"])
         if bd > 0:
             return (state["params"], state["opt_state"], int(state["epoch"]),
