@@ -101,14 +101,38 @@ def main():
     summary["ndof"] = model.ndof
     summary["build_s"] = round(build_s, 1)
 
+    # dataset cache: deterministic in (mesh, seed, sizes) — crash-retry
+    # attempts (--resume under tools/run_with_retry.sh) must not re-pay the
+    # 2000-solve datagen each time (same rationale as the arbitration
+    # driver's arb_cache)
+    from vbicm_tpu.prob.datagen import MeasurementDataset
+
+    os.makedirs(args.results, exist_ok=True)
+    cache = os.path.join(args.results, "dataset_cache.npz")
     t0 = time.time()
-    ds = generate_data_fem(
-        jax.random.PRNGKey(args.seed), jax.jit(jax.vmap(fh)),
-        n_sam=args.n_data, ne_sam=4, d_y=3, sig_e=cfg.sig_e,
-        sig_eta=cfg.sig_eta, chunk=512,
-    )
-    datagen_s = time.time() - t0
-    print(f"{args.n_data}-point 3-D dataset in {datagen_s:.1f}s")
+    if args.resume and os.path.exists(cache):
+        import numpy as _np
+
+        z = dict(_np.load(cache, allow_pickle=False))
+        ds = MeasurementDataset(**{k: z[k] for k in (
+            "y_data", "z_data", "log_z_data", "e_data", "y_mean", "y_std",
+            "z_mean", "z_std", "theta_data")})
+        datagen_s = time.time() - t0
+        print(f"loaded {args.n_data}-point 3-D dataset from {cache}")
+    else:
+        ds = generate_data_fem(
+            jax.random.PRNGKey(args.seed), jax.jit(jax.vmap(fh)),
+            n_sam=args.n_data, ne_sam=4, d_y=3, sig_e=cfg.sig_e,
+            sig_eta=cfg.sig_eta, chunk=512,
+        )
+        datagen_s = time.time() - t0
+        import numpy as _np
+
+        _np.savez(cache, y_data=ds.y_data, z_data=ds.z_data,
+                  log_z_data=ds.log_z_data, e_data=ds.e_data,
+                  y_mean=ds.y_mean, y_std=ds.y_std, z_mean=ds.z_mean,
+                  z_std=ds.z_std, theta_data=ds.theta_data)
+        print(f"{args.n_data}-point 3-D dataset in {datagen_s:.1f}s")
     summary["datagen_s"] = round(datagen_s, 1)
 
     # fixed-mode lr decay: this problem's step-1 loss is positive (r4 run:
@@ -119,9 +143,13 @@ def main():
     # per-sample pairing (the reference's cross-pairing quirk scores every
     # y against every sample in the batch — a loss floor on sharp
     # likelihoods, see train_viscoelastic_vi.py)
+    # ckpt_every=1: the round-5 worker-crash cadence (~5 min) is shorter
+    # than the default num_epochs//5 checkpoint interval at these epoch
+    # counts (docs/KNOWN_ISSUES.md); per-epoch bundles bound the loss per
+    # crash to one ~5 s epoch
     tcfg = TrainConfig(batch_size=64, num_epoch1=args.epochs1,
                        num_epoch2=args.epochs2, lr_decay_mode="fixed",
-                       pairing="per_sample")
+                       pairing="per_sample", ckpt_every=1)
     trainer = TwoStepTrainer(None, cfg, tcfg, fh=fh,
                              results_path=args.results, verbose=True,
                              y_norm=(ds.y_mean, ds.y_std), bridge_chunk=512)
