@@ -13,9 +13,32 @@ set -u
 cd "$(dirname "$0")/.."
 START="${1:-3d}"
 
+assert_tunnel_free() {
+  # The axon tunnel is single-client; a SURVIVING driver from a previous
+  # session (observed 2026-08-21: a chained retry-runner outlived its
+  # session, woke when the tunnel freed, and contended with this queue —
+  # 66 s build inflated to 787 s) silently poisons every timing artifact.
+  # Refuse to start a stage while any other examples/ driver is alive.
+  local stray=""
+  for p in /proc/[0-9]*/cmdline; do
+    local c
+    c=$(tr '\0' ' ' < "$p" 2>/dev/null)
+    case "$c" in
+      python\ examples/*)
+        stray="$stray $(basename "$(dirname "$p")"):${c%% --*}" ;;
+    esac
+  done
+  if [ -n "$stray" ]; then
+    echo "[queue] REFUSING to start: stray TPU driver(s):$stray"
+    return 1
+  fi
+  return 0
+}
+
 run_stage() {
   local name="$1" watch_dir="$2" check="$3"; shift 3
   local driver="$1"; shift
+  assert_tunnel_free || return 3
   echo "[queue] === stage $name: python $driver $* ==="
   tools/stall_watchdog.sh "$watch_dir" 420 "$driver" \
     >> "/tmp/wd_$name.log" 2>&1 &
